@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship entity-clustering pipeline at sf0.001.
+`queries()` exposes one callable per implemented operator (SURVEY.md §2)
+and `oracle_sql()` the DuckDB-equivalent SQL for the correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from entity_linking_spark.functions.normalize import (
+    normalize_text_col,
+    normalize_text_sql,
+)
+from entity_linking_spark.sources.tables import load_table
+from entity_linking_spark.sources.transcripts import (
+    derive_transcripts,
+    derive_transcripts_sql,
+)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_transcripts(load_table(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived transcripts at sf0.001 (placeholder until the full
+    cluster pipeline lands this round)."""
+    return _transcripts(spark, "/root/testdata/sf0.001")
+
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _transcripts(spark, sf_dir)
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", normalize_text_col(F.col("text")).alias("norm_text")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_derive": q_transcripts,
+        "normalize": q_normalize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tsql = derive_transcripts_sql("documents")
+    return {
+        "transcripts_derive": tsql,
+        "normalize": (
+            f"SELECT conv_id, turn_idx, {normalize_text_sql('text')} AS norm_text "
+            f"FROM ({tsql})"
+        ),
+    }
