@@ -28,10 +28,19 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
 
 
+def _starts(n_slots: Column) -> Column:
+    """sequence(1..n_slots) that is EMPTY when n_slots < 1. Spark's
+    sequence(1, 0) silently reverses direction ([1, 0]) instead of being
+    empty — the guard keeps parity with DuckDB's half-open range()."""
+    return F.when(
+        n_slots >= 1, F.sequence(F.lit(1), n_slots, F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def word_ngrams_col(tokens: Column, n: int) -> Column:
     """array<string> of space-joined word n-grams (empty if fewer than n
     tokens). Pure expression: slice over a generated start-index sequence."""
-    starts = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    starts = _starts((F.size(tokens) - (n - 1)).cast("int"))
     return F.transform(starts, lambda i: F.array_join(F.slice(tokens, i, n), " "))
 
 
@@ -48,9 +57,7 @@ def char_ngrams_col(norm_col: Column, n: int) -> Column:
     probes (the reference used word n-grams against a mention dictionary;
     we have no dictionary, so char shingles give the same
     'shared-surface-form ⇒ same block' property)."""
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.length(norm_col) - (n - 1), F.lit(0))
-    )
+    starts = _starts((F.length(norm_col) - (n - 1)).cast("int"))
     return F.transform(starts, lambda i: F.substring(norm_col, i, n))
 
 

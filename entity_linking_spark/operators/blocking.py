@@ -1,0 +1,189 @@
+"""Stage 1 — blocking / candidate generation.
+
+The reference generates candidates by probing every document n-gram against
+a 9.2M-entry mention dictionary (`md/MentionDetection.java:166-194`,
+`index/MentionIndex.java:59-67`). Transcripts have no dictionary, so we
+block on *content signatures* instead — the standard record-linkage move:
+
+  * first-token key   — cheap, high-recall for shared leading surface form
+  * MinHash-LSH bands — Jaccard-similar token/char-shingle sets land in the
+                        same band bucket with high probability
+
+Both produce `(rec_key, block_key)` rows; candidate pairs are generated
+block-locally (operators/pairs.py), mirroring the reference's
+"pairs only within one document" scoping (`CocitationMap.java:22-48`).
+
+Scale design (100 TB):
+  * signatures are one `groupBy(rec_key)` with n_perm min() aggregates —
+    a single shuffle with map-side partial aggregation; no perm explosion.
+  * every block inherits the reference's fan-out guard
+    (`md/MentionDetection.java:23-24,178-181`: skip mentions with > 2000
+    candidates): blocks larger than `cap` are dropped in pairs.py, and a
+    salting helper splits hot keys when the cap must be avoided.
+  * hash_mode='fast' switches md5-portable hashing to JVM xxhash64 for
+    production (same topology, ~3× cheaper scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import normalize as N
+from ..functions import tokenize as Tk
+
+DEFAULT_N_PERM = 16
+DEFAULT_BAND_ROWS = 4
+DEFAULT_SHINGLE = 5  # char-shingle width for MinHash
+
+
+def prepare_records(transcripts: DataFrame) -> DataFrame:
+    """Stage 0 output: one record per turn with normalized text + tokens.
+    rec_key is a single sortable string so `a < b` pair ordering and
+    min-based cluster ids are portable across engines."""
+    return transcripts.select(
+        F.concat_ws("#", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 6, "0")).alias(
+            "rec_key"
+        ),
+        "conv_id",
+        "turn_idx",
+        N.normalize_text_col(F.col("text")).alias("norm_text"),
+    ).withColumn("tokens", Tk.tokens_col(F.col("norm_text")))
+
+
+def prepare_records_sql(transcripts_rel: str) -> str:
+    norm = N.normalize_text_sql("text")
+    return f"""
+    SELECT conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') AS rec_key,
+           conv_id, turn_idx,
+           {norm} AS norm_text,
+           {Tk.tokens_sql(norm)} AS tokens
+    FROM ({transcripts_rel})
+    """
+
+
+def first_token_blocks(records: DataFrame) -> DataFrame:
+    """(rec_key, block_key) for the first-token blocking key. Empty texts
+    produce no block (they can never match anything)."""
+    return records.filter(F.size("tokens") > 0).select(
+        "rec_key", F.concat(F.lit("t0:"), F.element_at("tokens", 1)).alias("block_key")
+    )
+
+
+def first_token_blocks_sql(records_rel: str) -> str:
+    return f"""
+    SELECT rec_key, 't0:' || tokens[1] AS block_key
+    FROM ({records_rel}) WHERE len(tokens) > 0
+    """
+
+
+def minhash_signatures(
+    records: DataFrame,
+    n_perm: int = DEFAULT_N_PERM,
+    shingle: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(rec_key, sig_0..sig_{n-1}) MinHash signature over char shingles of
+    the normalized text. One explode + one groupBy(rec_key) with n_perm
+    min() columns — a single shuffle, partial-agg'd map-side."""
+    hash_col = H.portable_hash_col if hash_mode == "portable" else H.fast_hash_col
+    sh = records.select(
+        "rec_key",
+        F.explode(Tk.char_ngrams_col(F.col("norm_text"), shingle)).alias("shingle"),
+    ).select("rec_key", hash_col(F.col("shingle")).alias("x"))
+    aggs = [
+        F.min(H.minhash_perm_col(F.col("x"), a, b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(H.perm_constants(n_perm, seed))
+    ]
+    return sh.groupBy("rec_key").agg(*aggs)
+
+
+def minhash_signatures_sql(
+    records_rel: str,
+    n_perm: int = DEFAULT_N_PERM,
+    shingle: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+) -> str:
+    x = H.portable_hash_sql("shingle")
+    aggs = ", ".join(
+        f"min({H.minhash_perm_sql('x', a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(H.perm_constants(n_perm, seed))
+    )
+    return f"""
+    SELECT rec_key, {aggs}
+    FROM (
+      SELECT rec_key, {x} AS x
+      FROM (
+        SELECT rec_key, unnest({Tk.char_ngrams_sql('norm_text', shingle)}) AS shingle
+        FROM ({records_rel})
+      )
+    )
+    GROUP BY rec_key
+    """
+
+
+def lsh_blocks(
+    signatures: DataFrame,
+    n_perm: int = DEFAULT_N_PERM,
+    band_rows: int = DEFAULT_BAND_ROWS,
+) -> DataFrame:
+    """(rec_key, block_key) — one block key per LSH band: md5 of the
+    concatenated band rows. b = n_perm/band_rows bands; with 16/4 the
+    match-probability S-curve crosses 0.5 near Jaccard ≈ 0.7."""
+    assert n_perm % band_rows == 0
+    bands = []
+    for band in range(n_perm // band_rows):
+        cols = [F.col(f"sig_{band * band_rows + r}") for r in range(band_rows)]
+        bands.append(
+            F.concat(
+                F.lit(f"mh{band}:"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])),
+            )
+        )
+    return signatures.select(
+        "rec_key", F.explode(F.array(*bands)).alias("block_key")
+    )
+
+
+def lsh_blocks_sql(
+    signatures_rel: str,
+    n_perm: int = DEFAULT_N_PERM,
+    band_rows: int = DEFAULT_BAND_ROWS,
+) -> str:
+    bands = []
+    for band in range(n_perm // band_rows):
+        cols = " || '_' || ".join(
+            f"CAST(sig_{band * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+        )
+        bands.append(f"'mh{band}:' || md5({cols})")
+    arr = ", ".join(bands)
+    return f"""
+    SELECT rec_key, unnest([{arr}]) AS block_key
+    FROM ({signatures_rel})
+    """
+
+
+def salt_blocks(blocked: DataFrame, n_salt: int = 8, hot_threshold: int = 1024) -> DataFrame:
+    """Skew defense for keys that must NOT be dropped by the block cap:
+    rows of a hot block_key (> hot_threshold members) are re-keyed to
+    `key#s` with s = pmod(hash(rec_key), n_salt). Pairs are then generated
+    within each salt shard — an intentional recall trade on pathological
+    keys, the same trade the reference makes by skipping >2000-candidate
+    mentions (`md/MentionDetection.java:178-181`) but keeping partial
+    coverage instead of none."""
+    counts = blocked.groupBy("block_key").agg(F.count("*").alias("bn"))
+    return (
+        blocked.join(counts, "block_key")
+        .withColumn(
+            "block_key",
+            F.when(
+                F.col("bn") > hot_threshold,
+                F.concat_ws(
+                    "#", F.col("block_key"), F.pmod(F.xxhash64("rec_key"), F.lit(n_salt))
+                ),
+            ).otherwise(F.col("block_key")),
+        )
+        .drop("bn")
+    )

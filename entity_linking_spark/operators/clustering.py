@@ -1,0 +1,129 @@
+"""Stage 3 — transitive clustering via iterative connected components.
+
+The reference computes weak components with an in-memory JUNG clusterer
+(`baseline/RandomGraphWalk.java:340-346`) — fine for one document's graph,
+impossible for 10^12 turns. We use the alternating large-star / small-star
+algorithm (Kiveris et al. 2014, "Connected Components in MapReduce and
+Beyond" — public paper), which converges in O(log² n) supersteps and keeps
+every superstep a pair of groupBy/join DataFrame ops.
+
+Node ids are the engine's sortable string rec_keys; the cluster id is the
+lexicographic min member — the same convention the oracle's recursive-CTE
+closure uses, so ids compare exactly.
+
+Scale notes:
+  * every superstep ends in `localCheckpoint()` — iteration over DataFrames
+    otherwise builds an exponentially deep lineage that kills the planner
+    (the one Spark failure mode the reference never had to face).
+  * convergence check is a count of changed edges — an O(1)-ish aggregate,
+    not a collect of the edge set.
+  * on a cluster, `localCheckpoint` would be `checkpoint()` to HDFS/Iceberg
+    so a lost executor doesn't force a full recompute (resume plumbing in
+    plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: for every node u, connect all strictly-larger neighbors
+    to m = min(N(u) ∪ {u}). Input/output: undirected edge list (u, v)."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star: orient edges to (big, small); for every node u connect
+    all small neighbors and u itself to m = min(N≤(u) ∪ {u})."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        oriented.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select("u", F.col("m").alias("v"))
+    return moved.union(self_edge).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, checkpoint: bool = True
+) -> DataFrame:
+    """edges(a_key, b_key) → (rec_key, cluster_id). Alternating large/small
+    star until the edge set is a stable star forest. Only nodes that appear
+    in an edge are returned; callers union singletons themselves."""
+    e = (
+        edges.select(F.col("a_key").alias("u"), F.col("b_key").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e))
+        if checkpoint:
+            e2 = e2.localCheckpoint()
+        # converged when the (big,small)-oriented edge sets are identical
+        o1 = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        changed = (
+            e2.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .exceptAll(o1)
+            .limit(1)
+            .count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    # stable state: every edge is (member, root-min)
+    members = e.select(F.col("u").alias("rec_key"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("rec_key"), F.col("v").alias("cluster_id"))
+    return members.union(roots).distinct()
+
+
+def clusters_with_singletons(
+    records: DataFrame, edges: DataFrame, max_iter: int = 20, checkpoint: bool = True
+) -> DataFrame:
+    """All records assigned a cluster: CC result where edges exist,
+    rec_key itself for singletons."""
+    cc = connected_components(edges, max_iter=max_iter, checkpoint=checkpoint)
+    return (
+        records.select("rec_key")
+        .join(cc, "rec_key", "left")
+        .select(
+            "rec_key", F.coalesce("cluster_id", "rec_key").alias("cluster_id")
+        )
+    )
+
+
+def clusters_sql(records_rel: str, edges_rel: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE, cluster id =
+    min reachable node (small scale only — closure is O(Σ comp²))."""
+    return f"""
+    WITH RECURSIVE sym AS (
+      SELECT a_key AS u, b_key AS v FROM ({edges_rel})
+      UNION
+      SELECT b_key AS u, a_key AS v FROM ({edges_rel})
+    ),
+    walk (u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u
+    ),
+    reach AS (
+      SELECT u AS rec_key, least(u, min(v)) AS cluster_id FROM walk GROUP BY u
+    )
+    SELECT r.rec_key, coalesce(reach.cluster_id, r.rec_key) AS cluster_id
+    FROM ({records_rel}) r LEFT JOIN reach ON r.rec_key = reach.rec_key
+    """
