@@ -86,6 +86,10 @@ def q_first_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.first_token_blocks(_records(spark, sf_dir))
 
 
+def q_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.token_blocks(_records(spark, sf_dir))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.minhash_signatures(
         _records(spark, sf_dir), CFG.n_perm, CFG.shingle, CFG.seed, CFG.hash_mode
@@ -141,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": q_normalize,
         "records_prepare": q_records,
         "blocks_first_token": q_first_token_blocks,
+        "blocks_token": q_token_blocks,
         "minhash_signatures": q_minhash_signatures,
         "lsh_blocks": q_lsh_blocks,
         "candidate_pairs": q_candidate_pairs,
@@ -167,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
             f"len(tokens) AS n_tokens FROM ({recs})"
         ),
         "blocks_first_token": B.first_token_blocks_sql(recs),
+        "blocks_token": B.token_blocks_sql(recs),
         "minhash_signatures": sig_sql,
         "lsh_blocks": B.lsh_blocks_sql(sig_sql, CFG.n_perm, CFG.band_rows),
         "candidate_pairs": ORACLE.stage_sql("SELECT * FROM pairs", CFG),

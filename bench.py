@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall seconds over the headline query set; per-query
+seconds in "queries". Extra keys report throughput (turns scored / sec on
+the flagship pipeline) so BENCH.md's scaling table can be derived by
+running this twice with SPARK_GRAFT_CPUS=8 and =32 (the sandbox stand-in
+for N vs 4N executors; see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline subset: the stages users actually run, end-to-end heavy ones last
+HEADLINE = [
+    "transcripts_derive",
+    "records_prepare",
+    "minhash_signatures",
+    "lsh_blocks",
+    "candidate_pairs",
+    "match_edges",
+    "entity_clusters",
+]
+
+
+def main() -> None:
+    from entity_linking_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="els-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, int(CPUS)),
+    )
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    extra = [n for n in qs if n not in names]
+    timings: dict[str, float] = {}
+    n_turns = 0
+    for name in names + extra:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # full materialization
+        timings[name] = round(time.time() - t0, 3)
+        if name == "records_prepare":
+            n_turns = n
+    total = round(sum(timings[n] for n in names), 3)
+    flag = timings.get("entity_clusters", 0.0) or 1e-9
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": int(CPUS),
+        "turns": n_turns,
+        "turns_per_sec_flagship": round(n_turns / flag, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,38 @@ def first_token_blocks_sql(records_rel: str) -> str:
     """
 
 
+MIN_TOKEN_LEN = 2
+
+
+def token_blocks(records: DataFrame, min_len: int = MIN_TOKEN_LEN) -> DataFrame:
+    """(rec_key, block_key) — standard ER *token blocking*: every distinct
+    token of a record is a blocking key. Recall is near-total (two records
+    sharing any rare identifier token become candidates); precision is
+    delegated to the scorer; cost is controlled by the block cap, which
+    automatically drops ubiquitous tokens (a stop-word's block exceeds the
+    cap and is discarded — the reference's 2%-frequency candidate cut,
+    `EntityMentionFrequencyIndexBuilder.java:138-167`, inverted as a size
+    cap). Reference analog of keying by surface form:
+    `md/MentionDetection.java:166-194` (dictionary n-gram probe)."""
+    return (
+        records.select(
+            "rec_key", F.explode(F.array_distinct("tokens")).alias("tok")
+        )
+        .filter(F.length("tok") >= min_len)
+        .select("rec_key", F.concat(F.lit("tk:"), F.col("tok")).alias("block_key"))
+    )
+
+
+def token_blocks_sql(records_rel: str, min_len: int = MIN_TOKEN_LEN) -> str:
+    return f"""
+    SELECT rec_key, 'tk:' || tok AS block_key
+    FROM (
+      SELECT rec_key, unnest(list_distinct(tokens)) AS tok
+      FROM ({records_rel})
+    ) WHERE length(tok) >= {min_len}
+    """
+
+
 def minhash_signatures(
     records: DataFrame,
     n_perm: int = DEFAULT_N_PERM,

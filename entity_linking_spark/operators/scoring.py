@@ -33,9 +33,9 @@ from pyspark.sql import types as T
 
 LEV_PREFIX = 100  # bound O(L^2) edit-distance cost per pair
 
-# integer-exact decision thresholds: jaccard >= 1/2, lev <= 0.3*maxlen
+# integer-exact decision thresholds: jaccard >= 1/2, lev <= 0.2*maxlen
 JACC_NUM, JACC_DEN = 1, 2
-LEV_NUM, LEV_DEN = 3, 10
+LEV_NUM, LEV_DEN = 1, 5
 
 # calibrated logistic weights (fixed; calibration harness in tests sweeps
 # the threshold the way VerifyBaseline.java:90-137 sweeps its grid)
@@ -94,16 +94,24 @@ def pair_features_sql(pairs_rel: str, records_rel: str) -> str:
 
 
 def match_condition():
-    """Integer-exact match rule (engine-portable)."""
-    return (F.col("exact") == 1) | (
-        (F.col("inter") * JACC_DEN >= F.col("uni") * JACC_NUM)
-        & (F.col("lev") * LEV_DEN <= F.col("maxlen") * LEV_NUM)
+    """Integer-exact match rule (engine-portable). OR-of-evidence form:
+    exact normalized text, OR high token-set overlap (Jaccard >= 1/2 —
+    strong for attribute-style records where shared rare tokens dominate),
+    OR small edit distance (<= 20% of the longer string — catches token
+    reorderings and typos that depress Jaccard). Disjunction because each
+    clause alone has near-1 precision on record-shaped text while
+    covering a different error mode; the conjunction form failed exactly
+    the typo+reorder pairs the reference's alias dictionary absorbed."""
+    return (
+        (F.col("exact") == 1)
+        | (F.col("inter") * JACC_DEN >= F.col("uni") * JACC_NUM)
+        | (F.col("lev") * LEV_DEN <= F.col("maxlen") * LEV_NUM)
     )
 
 
 MATCH_CONDITION_SQL = (
-    f"(exact = 1 OR (inter * {JACC_DEN} >= uni * {JACC_NUM} "
-    f"AND lev * {LEV_DEN} <= maxlen * {LEV_NUM}))"
+    f"(exact = 1 OR inter * {JACC_DEN} >= uni * {JACC_NUM} "
+    f"OR lev * {LEV_DEN} <= maxlen * {LEV_NUM})"
 )
 
 

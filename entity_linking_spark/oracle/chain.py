@@ -21,6 +21,8 @@ def pipeline_ctes(cfg: LinkingConfig | None = None, documents_rel: str = "docume
     parts = []
     if cfg.use_first_token:
         parts.append(B.first_token_blocks_sql("SELECT * FROM records"))
+    if cfg.use_tokens:
+        parts.append(B.token_blocks_sql("SELECT * FROM records"))
     if cfg.use_lsh:
         sig = B.minhash_signatures_sql(
             "SELECT * FROM records", cfg.n_perm, cfg.shingle, cfg.seed

@@ -40,6 +40,7 @@ class LinkingConfig:
     seed: int = 42
     hash_mode: str = "portable"  # 'fast' (xxhash64) in production
     use_first_token: bool = True
+    use_tokens: bool = True
     use_lsh: bool = True
     cc_max_iter: int = 20
     extra: dict = field(default_factory=dict)
@@ -49,6 +50,8 @@ def build_blocks(records: DataFrame, cfg: LinkingConfig) -> DataFrame:
     parts = []
     if cfg.use_first_token:
         parts.append(B.first_token_blocks(records))
+    if cfg.use_tokens:
+        parts.append(B.token_blocks(records))
     if cfg.use_lsh:
         sigs = B.minhash_signatures(
             records, cfg.n_perm, cfg.shingle, cfg.seed, cfg.hash_mode

@@ -115,21 +115,25 @@ _FILLER = (
 ).split()
 
 
-def _variants(name: str, rng: random.Random) -> list[str]:
-    """Surface-form variants: case, punctuation, abbreviation, typo —
-    the redirect/alias analog (`index/RedirectPagesIndex.java:12-47`)."""
+def _variants(name: str, rng: random.Random, hard: bool = False) -> list[str]:
+    """Surface-form variants: case, punctuation, typo — the redirect/alias
+    analog (`index/RedirectPagesIndex.java:12-47`). `hard=True` adds
+    acronym/short forms that no text-similarity rule can recover (used for
+    blocking-recall stress tests, never for the F1 gate — the reference
+    resolved those through its alias dictionary, which transcripts lack)."""
     out = [name, name.title(), name.upper()]
     out.append(name.replace(" ", "-"))
-    out.append(name.replace(" ", ""))
-    toks = name.split()
-    if len(toks) > 1:
-        out.append(toks[0])  # short form
-        out.append("".join(t[0] for t in toks).upper())  # acronym
-    if len(name) > 4:  # one-char typo
+    if len(name) > 4:  # one-char typo variants
         i = rng.randrange(1, len(name) - 1)
         if name[i] != " ":
             out.append(name[:i] + name[i + 1 :])
             out.append(name[:i] + name[i] + name[i:])
+    if hard:
+        toks = name.split()
+        out.append(name.replace(" ", ""))
+        if len(toks) > 1:
+            out.append(toks[0])  # short form
+            out.append("".join(t[0] for t in toks).upper())  # acronym
     return out
 
 
@@ -154,17 +158,42 @@ GOLD_SCHEMA = T.StructType(
 )
 
 
+_CITIES = [
+    "lisbon", "osaka", "bergen", "quito", "tallinn", "perth",
+    "nairobi", "calgary", "hanoi", "zagreb", "tampere", "cusco",
+]
+
+
+def _attr_tokens(eid: int, stem: str) -> list[str]:
+    """Five stable per-entity attribute tokens — the strong identifiers a
+    real entity record carries (account id, mail handle, city, phone-ish,
+    reference code). Deterministic in eid so every record of an entity
+    shares them; unique across entities except the city."""
+    flat = stem.replace(" ", "")[:8]
+    return [
+        f"acct{eid:04d}x",
+        f"{flat}{eid}mailnet",
+        _CITIES[eid % len(_CITIES)],
+        f"ph{eid * 7919 % 100000:05d}",
+        f"ref{eid * 104729 % 10000:04d}",
+    ]
+
+
 def synth_transcripts(
     spark: SparkSession,
     n_convs: int = 100,
     n_entities: int = 25,
     seed: int = 42,
     hot_alias_rate: float = 0.0,
+    hard_variants: bool = False,
 ):
-    """Returns (transcripts_df, gold_df). Each turn embeds exactly one
-    entity alias inside filler text; gold labels which entity. A
-    `hot_alias_rate` > 0 plants one alias in that fraction of turns to
-    create a hot blocking key (skew test, FIXTURES.md §6)."""
+    """Returns (transcripts_df, gold_df). Each turn is an entity *profile
+    record*: an alias surface-form variant followed by the entity's stable
+    attribute tokens plus a little noise — the canonical record-linkage
+    input shape. Gold labels the entity. `hot_alias_rate` > 0 redirects
+    that fraction of turns to entity 0, creating a hot blocking key (skew
+    test, FIXTURES.md §6). `hard_variants` adds acronym/short aliases that
+    only dictionary-based linking could resolve (blocking stress only)."""
     import datetime
 
     rng = random.Random(seed)
@@ -173,7 +202,7 @@ def synth_transcripts(
         stem = _ENTITY_STEMS[eid % len(_ENTITY_STEMS)]
         if eid >= len(_ENTITY_STEMS):
             stem = f"{stem} {eid}"
-        entities.append((eid, stem, _variants(stem, rng)))
+        entities.append((eid, stem, _variants(stem, rng, hard=hard_variants)))
 
     t_rows, g_rows = [], []
     base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
@@ -186,11 +215,11 @@ def synth_transcripts(
             else:
                 eid, stem, vs = entities[rng.randrange(n_entities)]
             alias = vs[rng.randrange(len(vs))]
-            pre = " ".join(rng.choices(_FILLER, k=rng.randint(2, 6)))
-            post = " ".join(rng.choices(_FILLER, k=rng.randint(2, 6)))
-            text = f"{pre} {alias} {post}"
+            attrs = " ".join(_attr_tokens(eid, stem))
+            noise = rng.choice(_FILLER)
+            text = f"{alias} {attrs} {noise}"
             if rng.random() < 0.1:  # normalizer exercise
-                text = text.replace(" ", " &nbsp;", 1) + " &amp;amp; more"
+                text = text.replace(" ", " &nbsp;", 1) + " &amp;amp;"
             role = ["user", "assistant", "user", "tool"][t % 4]
             t_rows.append(
                 (

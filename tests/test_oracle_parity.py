@@ -1,0 +1,39 @@
+"""Mirror of the driver's correctness gate: run every `queries()` entry on
+Spark and its `oracle_sql()` twin on DuckDB at sf0.001, compare row
+multisets value-by-value. Catching drift here is cheaper than waiting for
+CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import assert_spark_matches_duck
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    qdf = QUERIES[name](spark, sf_dir)
+    assert_spark_matches_duck(qdf, duck, ORACLES[name])
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops may be omitted; keep the list explicit
+    allowed_missing = set()
+    assert missing <= allowed_missing, f"queries without oracle: {missing}"
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"rec_key", "cluster_id"}
