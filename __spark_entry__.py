@@ -22,8 +22,13 @@ from entity_linking_spark.functions.normalize import (
 )
 from entity_linking_spark.operators import blocking as B
 from entity_linking_spark.operators import clustering as C
+from entity_linking_spark.operators import dedup as D
+from entity_linking_spark.operators import multimodal as MM
 from entity_linking_spark.operators import pairs as P
 from entity_linking_spark.operators import scoring as S
+from entity_linking_spark.operators import simsearch as SS
+from entity_linking_spark.operators import textanalysis as TA
+from entity_linking_spark.operators import tfidf as TFI
 from entity_linking_spark.oracle import chain as ORACLE
 from entity_linking_spark.plans.pipeline import LinkingConfig, build_blocks
 from entity_linking_spark.sources.tables import load_table
@@ -134,6 +139,113 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+_DOCS_REL = "SELECT * FROM documents"
+_EMB_REL = "SELECT * FROM embeddings"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.doc_records(_docs(spark, sf_dir))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_text_stats(spark, sf_dir):
+    return TA.doc_text_stats(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark, sf_dir):
+    return TA.quality_filter(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_doc_records(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_neardup_pairs(_doc_records(spark, sf_dir))
+
+
+def q_simhash_signatures(spark, sf_dir):
+    return D.simhash_signatures(_doc_records(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_neardup_pairs(D.simhash_signatures(_doc_records(spark, sf_dir)))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return D.doc_fingerprints(_doc_records(spark, sf_dir))
+
+
+def q_embed_signatures(spark, sf_dir):
+    return SS.hyperplane_signatures(_emb(spark, sf_dir))
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    return SS.ann_bruteforce_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    return SS.ann_lsh_topk(_emb(spark, sf_dir))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return SS.embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+def q_term_df(spark, sf_dir):
+    return TFI.term_df(_doc_records(spark, sf_dir))
+
+
+def q_token_tfidf(spark, sf_dir):
+    return TFI.token_tfidf(_doc_records(spark, sf_dir))
+
+
+def q_keyphrase_topk(spark, sf_dir):
+    return TFI.keyphrase_topk(_doc_records(spark, sf_dir))
+
+
+def q_token_keyphraseness(spark, sf_dir):
+    return TFI.token_keyphraseness(_doc_records(spark, sf_dir))
+
+
+def q_source_candidate_cut(spark, sf_dir):
+    return TFI.source_candidate_cut(_doc_records(spark, sf_dir))
+
+
+def q_milne_witten(spark, sf_dir):
+    # turn-granularity corpus: document-level df ratios are degenerate on
+    # the tiny-vocabulary synthetic corpus (every term in ~every doc)
+    turns = _records(spark, sf_dir).select(
+        F.col("rec_key").alias("doc_id"), "tokens"
+    )
+    return TFI.milne_witten_relatedness(turns)
+
+
+def q_pair_tfidf_cosine(spark, sf_dir):
+    recs = _doc_records(spark, sf_dir)
+    prs = D.minhash_neardup_pairs(recs).select("a_id", "b_id")
+    return TFI.pair_tfidf_cosine(prs, recs)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    return MM.decode_features(MM.attach_binary(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark, sf_dir):
+    return MM.frame_sample(MM.attach_binary(_docs(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocking → scoring → clustering pipeline at sf0.001."""
     return q_entity_clusters(spark, "/root/testdata/sf0.001")
@@ -153,6 +265,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_edges": q_match_edges,
         "entity_clusters": q_entity_clusters,
         "cluster_sizes": q_cluster_sizes,
+        # training-data pipeline family
+        "text_stats": q_text_stats,
+        "quality_filter": q_quality_filter,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash_signatures": q_simhash_signatures,
+        "dedup_simhash": q_dedup_simhash,
+        "doc_fingerprints": q_doc_fingerprints,
+        "embed_signatures": q_embed_signatures,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "term_df": q_term_df,
+        "token_tfidf": q_token_tfidf,
+        "keyphrase_topk": q_keyphrase_topk,
+        "token_keyphraseness": q_token_keyphraseness,
+        "source_candidate_cut": q_source_candidate_cut,
+        "milne_witten_relatedness": q_milne_witten,
+        "pair_tfidf_cosine": q_pair_tfidf_cosine,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -188,4 +321,47 @@ def oracle_sql() -> dict[str, str]:
             "  ) GROUP BY cluster_id"
             ") GROUP BY n_members"
         ),
+        # training-data pipeline family
+        **_training_data_oracles(),
+    }
+
+
+def _training_data_oracles() -> dict[str, str]:
+    drecs = D.doc_records_sql(_DOCS_REL)
+    recs = "SELECT * FROM drecs"
+    with_recs = f"WITH drecs AS ({drecs})"
+    pair_cos = (
+        f"WITH drecs AS ({drecs}), "
+        f"prs AS (SELECT a_id, b_id FROM ({D.minhash_neardup_pairs_sql(recs)})) "
+        + TFI.pair_tfidf_cosine_sql("SELECT * FROM prs", recs)
+    )
+    return {
+        "text_stats": TA.doc_text_stats_sql(_DOCS_REL),
+        "quality_filter": TA.quality_filter_sql(_DOCS_REL),
+        "dedup_exact": f"{with_recs} {D.exact_dedup_sql(recs)}",
+        "dedup_minhash": f"{with_recs} {D.minhash_neardup_pairs_sql(recs)}",
+        "simhash_signatures": f"{with_recs} {D.simhash_signatures_sql(recs)}",
+        "dedup_simhash": (
+            f"{with_recs}, sigs AS ({D.simhash_signatures_sql(recs)}) "
+            + D.simhash_neardup_pairs_sql("SELECT * FROM sigs")
+        ),
+        "doc_fingerprints": f"{with_recs} {D.doc_fingerprints_sql(recs)}",
+        "embed_signatures": SS.hyperplane_signatures_sql(_EMB_REL),
+        "ann_bruteforce": SS.ann_bruteforce_topk_sql(_EMB_REL),
+        "ann_lsh": SS.ann_lsh_topk_sql(_EMB_REL),
+        "embedding_neardup": SS.embedding_neardup_pairs_sql(_EMB_REL),
+        "term_df": f"{with_recs} {TFI.term_df_sql(recs)}",
+        "token_tfidf": f"{with_recs} {TFI.token_tfidf_sql(recs)}",
+        "keyphrase_topk": f"{with_recs} {TFI.keyphrase_topk_sql(recs)}",
+        "token_keyphraseness": f"{with_recs} {TFI.token_keyphraseness_sql(recs)}",
+        "source_candidate_cut": f"{with_recs} {TFI.source_candidate_cut_sql(recs)}",
+        "milne_witten_relatedness": (
+            f"WITH turns AS ({B.prepare_records_sql(derive_transcripts_sql('documents'))}) "
+            + TFI.milne_witten_relatedness_sql(
+                "SELECT rec_key AS doc_id, tokens FROM turns"
+            )
+        ),
+        "pair_tfidf_cosine": pair_cos,
+        "multimodal_decode": MM.decode_features_sql(_DOCS_REL),
+        "frame_sample": MM.frame_sample_sql(_DOCS_REL),
     }

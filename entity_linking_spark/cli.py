@@ -1,0 +1,77 @@
+"""spark-submit entrypoint for the record-linkage pipeline.
+
+Cluster usage (north_rule: `spark-submit --py-files` on a multi-executor
+cluster):
+
+    zip -r els.zip entity_linking_spark
+    spark-submit --py-files els.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.adaptive.skewJoin.enabled=true \
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+        -m entity_linking_spark.cli \
+        --input <iceberg table / parquet path> \
+        --checkpoint <dir> --output <dir>
+
+Local smoke:  python -m entity_linking_spark.cli --input /root/testdata/sf0.001
+
+The driver-side logic is intentionally thin: load → LinkingPipeline.run →
+write clusters + metrics. All scale behavior (AQE, skew join, block caps,
+checkpointed supersteps) lives in the library, not here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from .operators import blocking as B  # noqa: F401  (re-exported for --py-files users)
+from .plans.pipeline import LinkingConfig, LinkingPipeline
+from .session import get_spark
+from .sources.tables import load_table
+from .sources.transcripts import derive_transcripts
+
+
+def _load_transcripts(spark: SparkSession, path: str) -> tuple:
+    """Path ending in a testdata sf dir → derive transcripts from its
+    documents table; otherwise read the transcripts table directly
+    (parquet dir or Iceberg identifier)."""
+    try:
+        docs = load_table(spark, path, "documents")
+        return derive_transcripts(docs)
+    except Exception:
+        if "." in path and "/" not in path:
+            return spark.read.format("iceberg").load(path)
+        return spark.read.parquet(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="entity-linking-spark pipeline")
+    ap.add_argument("--input", required=True, help="transcripts source (sf dir, parquet dir, or iceberg table)")
+    ap.add_argument("--output", default=None, help="output dir for clusters parquet")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint dir for stage commits/resume")
+    ap.add_argument("--block-cap", type=int, default=None)
+    ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("entity-linking-pipeline", master=args.master)
+    cfg = LinkingConfig()
+    if args.block_cap:
+        cfg.block_cap = args.block_cap
+    pipe = LinkingPipeline(spark, cfg, checkpoint_dir=args.checkpoint)
+    out = pipe.run(_load_transcripts(spark, args.input))
+    clusters = out["clusters"]
+    if args.output:
+        clusters.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = clusters.count()
+    print(json.dumps({"clusters_rows": n, "metrics": pipe.metrics}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
