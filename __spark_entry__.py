@@ -23,6 +23,8 @@ from entity_linking_spark.functions.normalize import (
 from entity_linking_spark.operators import blocking as B
 from entity_linking_spark.operators import clustering as C
 from entity_linking_spark.operators import dedup as D
+from entity_linking_spark.operators import events as EV
+from entity_linking_spark.operators import graphwalk as GW
 from entity_linking_spark.operators import multimodal as MM
 from entity_linking_spark.operators import pairs as P
 from entity_linking_spark.operators import scoring as S
@@ -37,7 +39,12 @@ from entity_linking_spark.sources.transcripts import (
     derive_transcripts_sql,
 )
 
-CFG = LinkingConfig()
+# hash_mode: 'portable' (md5-derived, bit-identical in DuckDB — required
+# for the value-level oracle gate) or 'fast' (JVM xxhash64 — the
+# production path; same topology, ~3x cheaper scan). bench.py sets
+# ELS_HASH_MODE=fast so throughput numbers reflect the production path;
+# the correctness driver leaves it unset.
+CFG = LinkingConfig(hash_mode=os.environ.get("ELS_HASH_MODE", "portable"))
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,19 +179,21 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return D.minhash_neardup_pairs(_doc_records(spark, sf_dir))
+    return D.minhash_neardup_pairs(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
 
 
 def q_simhash_signatures(spark, sf_dir):
-    return D.simhash_signatures(_doc_records(spark, sf_dir))
+    return D.simhash_signatures(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return D.simhash_neardup_pairs(D.simhash_signatures(_doc_records(spark, sf_dir)))
+    return D.simhash_neardup_pairs(
+        D.simhash_signatures(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
+    )
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    return D.doc_fingerprints(_doc_records(spark, sf_dir))
+    return D.doc_fingerprints(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
 
 
 def q_embed_signatures(spark, sf_dir):
@@ -234,8 +243,34 @@ def q_milne_witten(spark, sf_dir):
 
 def q_pair_tfidf_cosine(spark, sf_dir):
     recs = _doc_records(spark, sf_dir)
-    prs = D.minhash_neardup_pairs(recs).select("a_id", "b_id")
+    prs = D.minhash_neardup_pairs(recs, hash_mode=CFG.hash_mode).select("a_id", "b_id")
     return TFI.pair_tfidf_cosine(prs, recs)
+
+
+def q_pagerank(spark, sf_dir):
+    """Cluster-exemplar ranking: PageRank over the match-edge graph
+    (reference G4/G5 analog, RandomGraphWalk.java:166-188)."""
+    records = _records(spark, sf_dir)
+    edges = S.match_edges(
+        S.pair_features(P.block_pairs(_blocks(spark, sf_dir), CFG.block_cap), records)
+    )
+    return GW.pagerank(records.select("rec_key"), edges)
+
+
+def q_events_sessionize(spark, sf_dir):
+    return EV.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_tumbling(spark, sf_dir):
+    return EV.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_json_props(spark, sf_dir):
+    return EV.json_props(load_table(spark, sf_dir, "events"))
+
+
+def q_events_user_topk(spark, sf_dir):
+    return EV.user_topk_events(load_table(spark, sf_dir, "events"))
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -286,6 +321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_tfidf_cosine": q_pair_tfidf_cosine,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "pagerank": q_pagerank,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "events_json_props": q_events_json_props,
+        "events_user_topk": q_events_user_topk,
     }
 
 
@@ -326,6 +366,20 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _pagerank_oracle() -> str:
+    # edges_m: materialize the linking chain once — pagerank's CTEs
+    # reference it repeatedly and DuckDB inlines plain CTEs per reference
+    body, final = GW.pagerank_ctes(
+        "SELECT rec_key FROM records_m", "SELECT * FROM edges_m"
+    )
+    return (
+        f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+        f"records_m AS MATERIALIZED (SELECT * FROM records), "
+        f"edges_m AS MATERIALIZED (SELECT * FROM edges), "
+        f"{body} {final}"
+    )
+
+
 def _training_data_oracles() -> dict[str, str]:
     drecs = D.doc_records_sql(_DOCS_REL)
     recs = "SELECT * FROM drecs"
@@ -364,4 +418,9 @@ def _training_data_oracles() -> dict[str, str]:
         "pair_tfidf_cosine": pair_cos,
         "multimodal_decode": MM.decode_features_sql(_DOCS_REL),
         "frame_sample": MM.frame_sample_sql(_DOCS_REL),
+        "pagerank": _pagerank_oracle(),
+        "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
+        "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
+        "events_json_props": EV.json_props_sql("SELECT * FROM events"),
+        "events_user_topk": EV.user_topk_events_sql("SELECT * FROM events"),
     }

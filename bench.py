@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# bench measures the production hash path (xxhash64); the md5-derived
+# 'portable' mode exists only so the DuckDB oracle can replay MinHash
+# bit-for-bit in the correctness gate (see __spark_entry__.CFG).
+os.environ.setdefault("ELS_HASH_MODE", "fast")
+
 # headline subset: the stages users actually run, end-to-end heavy ones last
 HEADLINE = [
     "transcripts_derive",

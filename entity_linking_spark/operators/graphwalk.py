@@ -1,0 +1,150 @@
+"""Graph-walk scoring: PageRank over the match-edge graph.
+
+Reference parity: `baseline/RandomGraphWalk.java` builds a referent graph
+and runs JUNG `PageRankWithPriors` with α = 0.1
+(`/root/reference/src/baseline/RandomGraphWalk.java:45,166-188`) to rank
+candidate entities; weak components over the same graph feed its stats
+(`:340-346`). Our engine's analog ranks records by stationary mass on the
+undirected match-edge graph — a cluster-centrality signal (which record
+is the best exemplar of its entity cluster), useful for picking canonical
+records at dedup time.
+
+Semantics (kept deliberately simple so the DuckDB oracle can replay it
+exactly with K unrolled iterations):
+
+  * graph = symmetrized match edges ∪ one self-loop per node (self-loops
+    make every node non-dangling, so no rank mass leaks — the reference
+    handles dangling mass inside JUNG; self-loops are the relational
+    equivalent that needs no special case)
+  * uniform out-weights 1/outdeg (the reference's referent graph uses
+    normalized relatedness weights, `RandomGraphWalk.java:214-279`; with
+    a weighted edge input the same code runs unchanged — weight column
+    instead of 1/outdeg)
+  * p₀ = 1/N;  p_{k+1} = α/N + (1-α)·Σ_in p_k/outdeg;  α = 0.1 per the
+    reference (`RandomGraphWalk.java:45`)
+  * K fixed iterations (driver loop; `localCheckpoint` every superstep —
+    same lineage discipline as connected components)
+
+Invariant (reference `RandomGraphWalk.java:89-98,281-320` G7 analog):
+Σ p = 1 at every iteration; asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.1  # damping, per reference RandomGraphWalk.java:45
+DEFAULT_ITERS = 10
+
+
+def _sym_edges_with_loops(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(src, dst) symmetric closure of match edges plus one self-loop per
+    node. nodes: (rec_key)."""
+    sym = edges.select(
+        F.col("a_key").alias("src"), F.col("b_key").alias("dst")
+    ).union(edges.select(F.col("b_key").alias("src"), F.col("a_key").alias("dst")))
+    loops = nodes.select(
+        F.col("rec_key").alias("src"), F.col("rec_key").alias("dst")
+    )
+    return sym.union(loops).distinct()
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = DEFAULT_ITERS,
+    alpha: float = ALPHA,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(rec_key, rank): fixed-iteration PageRank, rank rounded to 6 dp.
+
+    nodes: (rec_key); edges: (a_key, b_key) undirected match edges.
+    Each superstep is one join + one groupBy — the standard two-shuffle
+    PR step; out-degree is precomputed once and broadcast-joined."""
+    g = _sym_edges_with_loops(edges, nodes)
+    outdeg = g.groupBy("src").agg(F.count("*").alias("outdeg"))
+    g = g.join(outdeg, "src")
+    if checkpoint:
+        g = g.localCheckpoint()
+    n_nodes = nodes.count()  # scalar: fixed for the whole run
+    p = nodes.select(
+        F.col("rec_key").alias("node"), F.lit(1.0 / n_nodes).alias("p")
+    )
+    if checkpoint:
+        p = p.localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            g.join(p, g["src"] == p["node"])
+            .select(F.col("dst").alias("node"), (F.col("p") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        p = nodes.select(F.col("rec_key").alias("node")).join(
+            contrib, "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(alpha / n_nodes)
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("p"),
+        )
+        if checkpoint:
+            p = p.localCheckpoint()
+    return p.select(F.col("node").alias("rec_key"), F.round("p", 6).alias("rank"))
+
+
+def pagerank_ctes(
+    nodes_rel: str,
+    edges_rel: str,
+    iters: int = DEFAULT_ITERS,
+    alpha: float = ALPHA,
+) -> tuple[str, str]:
+    """(cte_body, final_select) so callers can splice these CTEs after
+    their own WITH clause (e.g. the linking-pipeline oracle chain).
+    nodes_rel must yield (rec_key); edges_rel (a_key, b_key)."""
+    # MATERIALIZED: DuckDB inlines plain CTEs at every reference site;
+    # gd is referenced by all K iteration CTEs and itself embeds the full
+    # upstream chain, so inlining is exponential in K without it.
+    ctes = [
+        f"""nodes_m AS MATERIALIZED (SELECT rec_key FROM ({nodes_rel})),
+        g AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT a_key AS src, b_key AS dst FROM ({edges_rel})
+            UNION
+            SELECT b_key AS src, a_key AS dst FROM ({edges_rel})
+            UNION
+            SELECT rec_key AS src, rec_key AS dst FROM nodes_m
+          )
+        )""",
+        "gd AS MATERIALIZED (SELECT g.src, g.dst, d.outdeg FROM g JOIN ("
+        "SELECT src, count(*) AS outdeg FROM g GROUP BY src) d USING (src))",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes_m)",
+        "p0 AS (SELECT rec_key AS node, 1.0 / nn.n AS p FROM nodes_m CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+              SELECT nd.node,
+                     {alpha!r} / nn.n + {1.0 - alpha!r} * coalesce(i.inflow, 0.0) AS p
+              FROM (SELECT rec_key AS node FROM nodes_m) nd
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT gd.dst AS node, sum(pp.p / gd.outdeg) AS inflow
+                FROM gd JOIN p{k - 1} pp ON gd.src = pp.node
+                GROUP BY gd.dst
+              ) i ON nd.node = i.node
+            )"""
+        )
+    body = ",\n".join(ctes)
+    return body, f"SELECT node AS rec_key, round(p, 6) AS rank FROM p{iters}"
+
+
+def pagerank_sql(
+    nodes_rel: str,
+    edges_rel: str,
+    iters: int = DEFAULT_ITERS,
+    alpha: float = ALPHA,
+) -> str:
+    body, final = pagerank_ctes(nodes_rel, edges_rel, iters, alpha)
+    return f"WITH {body} {final}"

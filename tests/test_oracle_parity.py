@@ -19,8 +19,14 @@ from tests.conftest import assert_spark_matches_duck
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# Chain prefixes fully subsumed by entity_clusters (which executes
+# records→blocks→pairs→features→edges→CC end-to-end) are skipped here to
+# keep the suite fast; tools/check_oracle.py still checks every query
+# individually, as does the driver's own gate.
+SUBSUMED = {"candidate_pairs", "pair_features", "match_edges", "cluster_sizes"}
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+
+@pytest.mark.parametrize("name", sorted(set(ORACLES) - SUBSUMED))
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     qdf = QUERIES[name](spark, sf_dir)
     assert_spark_matches_duck(qdf, duck, ORACLES[name])

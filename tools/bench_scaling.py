@@ -1,0 +1,126 @@
+"""Scaling-efficiency benchmark: the same linking job at two parallelism
+levels (the sandbox stand-in for N vs 4N executors, per BASELINE.md).
+
+Generates one deterministic synthetic transcripts corpus (seeded, written
+once to parquet so both runs read byte-identical input), then runs the
+full blocking → scoring → clustering pipeline end-to-end and reports
+turns-scored/sec.
+
+Run it twice and compare:
+
+    python tools/bench_scaling.py 8
+    python tools/bench_scaling.py 32
+
+Each invocation is a fresh JVM so the two levels don't share caches.
+Efficiency = (tput_32 / tput_8) / 4, target >= 0.8 (BASELINE.json).
+
+Output: one JSON line {cpus, turns, wall_s, turns_per_sec, stages:{...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INPUT_DIR = os.environ.get("ELS_SCALING_INPUT", "/tmp/els_scaling_input")
+N_CONVS = int(os.environ.get("ELS_SCALING_CONVS", "160000"))
+SEED = 42
+
+
+def ensure_input(spark) -> str:
+    path = os.path.join(INPUT_DIR, f"transcripts_{N_CONVS}_{SEED}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from entity_linking_spark.sources.transcripts import synth_transcripts
+
+        tdf, _ = synth_transcripts(
+            spark, n_convs=N_CONVS, n_entities=500, seed=SEED, hot_alias_rate=0.02
+        )
+        tdf.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> int:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+    from entity_linking_spark.operators import blocking as B
+    from entity_linking_spark.operators import clustering as C
+    from entity_linking_spark.operators import pairs as P
+    from entity_linking_spark.operators import scoring as S
+    from entity_linking_spark.plans.pipeline import LinkingConfig, build_blocks
+    from entity_linking_spark.session import get_spark
+
+    spark = get_spark(
+        f"els-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        # AQE's default 64MB advisory size coalesces CPU-heavy stages into
+        # too few partitions to keep all python workers busy; 16MB keeps
+        # partition count ≈ cores at this data size without tiny-task spam.
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB"},
+    )
+    path = ensure_input(spark)
+    cfg = LinkingConfig(hash_mode="fast")  # production hash path
+    transcripts = spark.read.parquet(path)
+
+    stages: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, build):
+        """Materialize a stage inside the timing window (localCheckpoint
+        is eager, so construction == execution)."""
+        t0 = time.time()
+        df = build()
+        counts[name] = df.count()
+        stages[name] = round(time.time() - t0, 2)
+        return df
+
+    records = timed(
+        "records", lambda: B.prepare_records(transcripts).localCheckpoint()
+    )
+    n_turns = counts["records"]
+    prs = timed(
+        "block_pairs",
+        lambda: P.block_pairs(build_blocks(records, cfg), cfg.block_cap).localCheckpoint(),
+    )
+    # CPU-sized partitions for the Arrow-UDF scoring stage: the pandas UDF
+    # is compute-bound per row, so partition count must track cores, not
+    # shuffle-block size (the 100TB deployment does the same repartition
+    # before every Python-heavy stage).
+    scored = timed(
+        "score_pairs_jw",
+        lambda: S.scored_pairs(
+            S.pair_features(prs, records).repartition(4 * cpus),
+            with_jw=True,
+        ).localCheckpoint(),
+    )
+    edges = scored.filter("is_match").select("a_key", "b_key")
+    timed(
+        "clusters",
+        lambda: C.clusters_with_singletons(
+            records, edges, max_iter=cfg.cc_max_iter
+        ).localCheckpoint(),
+    )
+
+    wall = round(sum(stages.values()), 2)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "turns": n_turns,
+                "wall_s": wall,
+                "turns_per_sec": round(n_turns / wall, 1),
+                "stages": stages,
+                "rows": counts,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

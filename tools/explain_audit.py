@@ -45,9 +45,9 @@ def main() -> int:
     for name in only or AUDIT:
         df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-        n_codegen = len(re.findall(r"WholeStageCodegen", plan))
-        n_bcast = len(re.findall(r"BroadcastHashJoin|BroadcastExchange", plan))
-        n_shuffle = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
+        n_codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+        n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
+        n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", plan))
         n_sortmerge = len(re.findall(r"SortMergeJoin", plan))
         partial_agg = len(re.findall(r"HashAggregate", plan))
         print(
