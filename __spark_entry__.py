@@ -47,16 +47,34 @@ from entity_linking_spark.sources.transcripts import (
 CFG = LinkingConfig(hash_mode=os.environ.get("ELS_HASH_MODE", "portable"))
 
 
+# Memoized+cached shared stage prefixes (records, blocks, doc_records):
+# a dozen queries share them, and recomputing the normalize+tokenize+
+# signature scan per query is pure waste — the engine-level analog of a
+# materialized view. Values are identical with or without the cache.
+_MEMO: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build):
+    k = (id(spark), sf_dir, CFG.hash_mode, key)
+    if k not in _MEMO:
+        _MEMO[k] = build().cache()
+    return _MEMO[k]
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_transcripts(load_table(spark, sf_dir, "documents"))
 
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return B.prepare_records(_transcripts(spark, sf_dir))
+    return _memo(
+        spark, sf_dir, "records", lambda: B.prepare_records(_transcripts(spark, sf_dir))
+    )
 
 
 def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_blocks(_records(spark, sf_dir), CFG)
+    return _memo(
+        spark, sf_dir, "blocks", lambda: build_blocks(_records(spark, sf_dir), CFG)
+    )
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,7 +177,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.doc_records(_docs(spark, sf_dir))
+    return _memo(
+        spark, sf_dir, "doc_records", lambda: D.doc_records(_docs(spark, sf_dir))
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
