@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from entity_linking_spark.functions.normalize import (
+    link_normalize_col,
+    link_normalize_sql,
     normalize_text_col,
     normalize_text_sql,
 )
@@ -267,6 +269,14 @@ def q_pair_tfidf_cosine(spark, sf_dir):
     return TFI.pair_tfidf_cosine(prs, recs)
 
 
+def q_link_normalize(spark, sf_dir):
+    """T4 processTargetLink parity applied to document text (the testdata
+    has no wiki-link column; the function surface is what is checked)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", link_normalize_col(F.col("text")).alias("link_norm")
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Cluster-exemplar ranking: PageRank over the match-edge graph
     (reference G4/G5 analog, RandomGraphWalk.java:166-188)."""
@@ -341,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_tfidf_cosine": q_pair_tfidf_cosine,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "link_normalize": q_link_normalize,
         "pagerank": q_pagerank,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
@@ -438,6 +449,9 @@ def _training_data_oracles() -> dict[str, str]:
         "pair_tfidf_cosine": pair_cos,
         "multimodal_decode": MM.decode_features_sql(_DOCS_REL),
         "frame_sample": MM.frame_sample_sql(_DOCS_REL),
+        "link_normalize": (
+            f"SELECT doc_id, {link_normalize_sql('text')} AS link_norm FROM documents"
+        ),
         "pagerank": _pagerank_oracle(),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),

@@ -73,3 +73,32 @@ def normalize_text_sql(expr: str) -> str:
     c = f"regexp_replace({c}, '{_TAG_RE}', ' ', 'g')"
     c = f"regexp_replace({c}, '{_NON_ALNUM_RE}', ' ', 'g')"
     return f"trim({c})"
+
+
+def link_normalize_col(col: Column) -> Column:
+    """T4 — link-target normalization (`normalizer/Normalizer.java:100-133`
+    `processTargetLink`): unescape entities, strip <ref>…</ref> markup,
+    drop the #fragment, underscores → spaces, collapse whitespace,
+    capitalize the first letter. The reference's URL-decode step is
+    reduced to the common percent-escapes (space/comma/parens) so the
+    expression stays portable; full url_decode slots in on engines that
+    have it."""
+    c = unescape_html_col(col)
+    c = F.regexp_replace(c, "<ref[^>]*>.*?</ref>", "")
+    c = F.regexp_replace(c, "#.*$", "")
+    for esc, ch in (("%20", " "), ("%2C", ","), ("%28", "("), ("%29", ")")):
+        c = F.replace(c, F.lit(esc), F.lit(ch))
+    c = F.regexp_replace(c, "_+", " ")
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1_000_000))
+
+
+def link_normalize_sql(expr: str) -> str:
+    c = unescape_html_sql(expr)
+    c = f"regexp_replace({c}, '<ref[^>]*>.*?</ref>', '', 'g')"
+    c = f"regexp_replace({c}, '#.*$', '', 'g')"
+    for esc, ch in (("%20", " "), ("%2C", ","), ("%28", "("), ("%29", ")")):
+        c = f"replace({c}, '{esc}', '{ch}')"
+    c = f"regexp_replace({c}, '_+', ' ', 'g')"
+    c = f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    return f"upper(substr({c}, 1, 1)) || substr({c}, 2)"

@@ -120,3 +120,28 @@ def test_jaro_winkler_known_values():
     assert jaro_winkler_py("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-4)
     assert jaro_winkler_py("same", "same") == 1.0
     assert jaro_winkler_py("", "x") == 0.0
+
+
+def test_link_normalize_golden(spark, duck):
+    """T4 processTargetLink golden cases + Spark/DuckDB parity."""
+    from entity_linking_spark.functions.normalize import (
+        link_normalize_col,
+        link_normalize_sql,
+    )
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("anarchism", "Anarchism"),
+        ("Foo_bar#History", "Foo bar"),
+        ("a%20b%2Cc", "A b,c"),
+        ("x<ref name=a>junk</ref>y_z", "Xy z"),
+        ("&amp;amp;co", "&co"),
+        ("  spaced   out ", "Spaced out"),
+    ]
+    sdf = spark.createDataFrame([(c[0],) for c in cases], "s string")
+    got = [r[0] for r in sdf.select(link_normalize_col(F.col("s"))).collect()]
+    assert got == [c[1] for c in cases]
+    for raw, want in cases:
+        esc = raw.replace("'", "''")
+        d = duck.execute(f"SELECT {link_normalize_sql(repr(raw))}").fetchone()[0]
+        assert d == want, (raw, d, want)
