@@ -49,15 +49,17 @@ from entity_linking_spark.sources.transcripts import (
 CFG = LinkingConfig(hash_mode=os.environ.get("ELS_HASH_MODE", "portable"))
 
 
-# Memoized+cached shared stage prefixes (records, blocks, doc_records):
-# a dozen queries share them, and recomputing the normalize+tokenize+
-# signature scan per query is pure waste — the engine-level analog of a
-# materialized view. Values are identical with or without the cache.
+# Memoized+cached shared stage prefixes (records, blocks, pairs, features,
+# edges, doc_records): a dozen queries share them, and recomputing the
+# normalize+tokenize+signature+scoring chain per query is pure waste — the
+# engine-level analog of a materialized view. Values are identical with or
+# without the cache. Keyed on applicationId (stable per session; id(spark)
+# can be reused by CPython after a stopped session is GC'd).
 _MEMO: dict = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, build):
-    k = (id(spark), sf_dir, CFG.hash_mode, key)
+    k = (spark.sparkContext.applicationId, sf_dir, CFG.hash_mode, key)
     if k not in _MEMO:
         _MEMO[k] = build().cache()
     return _MEMO[k]
@@ -80,11 +82,23 @@ def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.block_pairs(_blocks(spark, sf_dir), CFG.block_cap)
+    return _memo(
+        spark, sf_dir, "pairs",
+        lambda: P.block_pairs(_blocks(spark, sf_dir), CFG.block_cap),
+    )
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.pair_features(_pairs(spark, sf_dir), _records(spark, sf_dir))
+    return _memo(
+        spark, sf_dir, "features",
+        lambda: S.pair_features(_pairs(spark, sf_dir), _records(spark, sf_dir)),
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memo(
+        spark, sf_dir, "edges", lambda: S.match_edges(_features(spark, sf_dir))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -146,13 +160,23 @@ def q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.match_edges(_features(spark, sf_dir))
+    return _edges(spark, sf_dir)
+
+
+def q_pair_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship string-similarity feature (functions/jaro.py bit-parallel
+    kernel), value-checked against DuckDB jaro_winkler_similarity."""
+    return _features(spark, sf_dir).select(
+        "a_key",
+        "b_key",
+        F.round(S.jaro_winkler_udf(F.col("a_norm"), F.col("b_norm")), 6).alias("jw"),
+    )
 
 
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    records = _records(spark, sf_dir)
-    edges = S.match_edges(S.pair_features(P.block_pairs(_blocks(spark, sf_dir), CFG.block_cap), records))
-    return C.clusters_with_singletons(records, edges, max_iter=CFG.cc_max_iter)
+    return C.clusters_with_singletons(
+        _records(spark, sf_dir), _edges(spark, sf_dir), max_iter=CFG.cc_max_iter
+    )
 
 
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +266,12 @@ def q_token_tfidf(spark, sf_dir):
     return TFI.token_tfidf(_doc_records(spark, sf_dir))
 
 
+def q_token_tfidf_ref(spark, sf_dir):
+    """T7 reference idf parity: log10, 0-if-df==N, +1-smoothed miss path
+    (`TermDocumentFrequencyIndex.java:37-51`)."""
+    return TFI.token_tfidf_ref(_doc_records(spark, sf_dir))
+
+
 def q_keyphrase_topk(spark, sf_dir):
     return TFI.keyphrase_topk(_doc_records(spark, sf_dir))
 
@@ -281,10 +311,7 @@ def q_pagerank(spark, sf_dir):
     """Cluster-exemplar ranking: PageRank over the match-edge graph
     (reference G4/G5 analog, RandomGraphWalk.java:166-188)."""
     records = _records(spark, sf_dir)
-    edges = S.match_edges(
-        S.pair_features(P.block_pairs(_blocks(spark, sf_dir), CFG.block_cap), records)
-    )
-    return GW.pagerank(records.select("rec_key"), edges)
+    return GW.pagerank(records.select("rec_key"), _edges(spark, sf_dir))
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -327,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_blocks": q_lsh_blocks,
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
+        "pair_jaro_winkler": q_pair_jaro_winkler,
         "match_edges": q_match_edges,
         "entity_clusters": q_entity_clusters,
         "cluster_sizes": q_cluster_sizes,
@@ -344,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "term_df": q_term_df,
         "token_tfidf": q_token_tfidf,
+        "token_tfidf_ref": q_token_tfidf_ref,
         "keyphrase_topk": q_keyphrase_topk,
         "token_keyphraseness": q_token_keyphraseness,
         "source_candidate_cut": q_source_candidate_cut,
@@ -382,6 +411,12 @@ def oracle_sql() -> dict[str, str]:
         "candidate_pairs": ORACLE.stage_sql("SELECT * FROM pairs", CFG),
         "pair_features": ORACLE.stage_sql(
             "SELECT a_key, b_key, inter, uni, lev, maxlen, exact FROM features", CFG
+        ),
+        "pair_jaro_winkler": ORACLE.stage_sql(
+            "SELECT a_key, b_key, "
+            f"round({S.jaro_winkler_sql('a_norm', 'b_norm')}, 6) AS jw "
+            "FROM features",
+            CFG,
         ),
         "match_edges": ORACLE.stage_sql("SELECT * FROM edges", CFG),
         "entity_clusters": ORACLE.clusters_oracle_sql(CFG),
@@ -437,6 +472,7 @@ def _training_data_oracles() -> dict[str, str]:
         "embedding_neardup": SS.embedding_neardup_pairs_sql(_EMB_REL),
         "term_df": f"{with_recs} {TFI.term_df_sql(recs)}",
         "token_tfidf": f"{with_recs} {TFI.token_tfidf_sql(recs)}",
+        "token_tfidf_ref": f"{with_recs} {TFI.token_tfidf_ref_sql(recs)}",
         "keyphrase_topk": f"{with_recs} {TFI.keyphrase_topk_sql(recs)}",
         "token_keyphraseness": f"{with_recs} {TFI.token_keyphraseness_sql(recs)}",
         "source_candidate_cut": f"{with_recs} {TFI.source_candidate_cut_sql(recs)}",

@@ -1,16 +1,22 @@
-"""spark-submit entrypoint for the record-linkage pipeline.
+"""CLI entrypoint for the record-linkage pipeline.
 
 Cluster usage (north_rule: `spark-submit --py-files` on a multi-executor
-cluster):
+cluster; spark-submit takes a *script path*, and the launcher script
+`run_pipeline.py` at the repo root exists for exactly that — `cli.py`
+itself uses package-relative imports and cannot be submitted directly):
 
     zip -r els.zip entity_linking_spark
-    spark-submit --py-files els.zip \
-        --conf spark.sql.adaptive.enabled=true \
-        --conf spark.sql.adaptive.skewJoin.enabled=true \
+    spark-submit --master <cluster-master> --py-files els.zip \
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \
-        -m entity_linking_spark.cli \
+        run_pipeline.py \
         --input <iceberg table / parquet path> \
         --checkpoint <dir> --output <dir>
+
+The master is NOT set here when running under spark-submit —
+`session.get_spark` only calls `builder.master()` for an explicit
+`--master` argument or a plain-python launch, so spark-submit's
+`--master`/conf always wins (it would otherwise be silently overridden
+with local mode).
 
 Local smoke:  python -m entity_linking_spark.cli --input /root/testdata/sf0.001
 
@@ -25,7 +31,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from .operators import blocking as B  # noqa: F401  (re-exported for --py-files users)
 from .plans.pipeline import LinkingConfig, LinkingPipeline
@@ -34,7 +40,7 @@ from .sources.tables import load_table
 from .sources.transcripts import derive_transcripts
 
 
-def _load_transcripts(spark: SparkSession, path: str) -> tuple:
+def _load_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Path ending in a testdata sf dir → derive transcripts from its
     documents table; otherwise read the transcripts table directly
     (parquet dir or Iceberg identifier)."""

@@ -13,6 +13,14 @@ Scale notes: every operator partitions by user_id (or event_type), so the
 single shuffle is on the natural key; sessionization is two window passes
 over the same partitioning — Catalyst reuses the sort. All outputs are
 value-hashed against DuckDB twins (round(·,6) for float sums).
+
+Session-timezone requirement: sessionize casts TIMESTAMP_NTZ → TIMESTAMP
+and relies on the offsets cancelling in the difference, which holds only
+under a fixed-offset session timezone. `session.get_spark` pins
+spark.sql.session.timeZone=UTC for exactly this reason; running these
+operators in a DST-shifting session timezone would move gaps that
+straddle a transition by an hour and diverge from the DuckDB epoch_us
+oracle. The assert below makes the requirement explicit.
 """
 
 from __future__ import annotations
@@ -30,6 +38,11 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
 
     Classic two-pass shape: lag → boundary flag → running sum = session
     index → aggregate. Both passes share Window.partitionBy(user_id)."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    assert tz in ("UTC", "Etc/UTC", "GMT", "Z"), (
+        f"sessionize requires a fixed-offset (UTC) session timezone, got {tz!r};"
+        " NTZ→TZ casts must cancel in the gap difference (see module docstring)"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microseconds on both engines (unix_timestamp truncates
     # to seconds and would disagree with the oracle at gap boundaries);

@@ -85,17 +85,35 @@ def _decode_fake(doc_id: int, payload: bytes, modality: str) -> dict:
     }
 
 
+def _probe_real_decoder() -> bool:
+    """Check once (per worker import) whether the real decoder is usable,
+    so the per-record loop branches on a flag instead of raising/catching
+    NotImplementedError inside the Arrow hot path."""
+    try:
+        _decode_real(b"", "image")
+        return True
+    except NotImplementedError:
+        return False
+    except Exception:
+        return True  # decoder present but unhappy with the empty probe
+
+
+_HAVE_REAL_DECODER = _probe_real_decoder()
+
+
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batches in, feature batches out. Tries the
-    real decoder once per batch; falls back to the deterministic fake."""
+    """mapInPandas worker: Arrow batches in, feature batches out. The real
+    decoder is probed once at import; the deterministic fake is the
+    fallback path."""
+    decode = _decode_real if _HAVE_REAL_DECODER else None
     for pdf in batches:
         rows = []
         for doc_id, modality, payload in zip(
             pdf["doc_id"], pdf["modality"], pdf["payload"]
         ):
-            try:
-                feats = _decode_real(bytes(payload), modality)
-            except NotImplementedError:
+            if decode is not None:
+                feats = decode(bytes(payload), modality)
+            else:
                 feats = _decode_fake(int(doc_id), bytes(payload), modality)
             rows.append({"doc_id": int(doc_id), "modality": modality, **feats})
         yield pd.DataFrame(

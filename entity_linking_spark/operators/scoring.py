@@ -126,63 +126,30 @@ def match_edges_sql(features_rel: str) -> str:
 
 # ---------------------------------------------------------------------------
 # Vectorized pandas-UDF features (the full scorer; Arrow-batched, no per-row
-# Python). Jaro-Winkler implemented in numpy — no external deps.
+# Python). Jaro-Winkler: numpy bit-parallel batch kernel (functions/jaro.py),
+# bit-identical to DuckDB jaro_winkler_similarity on 64-char-truncated input.
 # ---------------------------------------------------------------------------
 
-
-def _jaro(a: str, b: str) -> float:
-    if a == b:
-        return 1.0
-    la, lb = len(a), len(b)
-    if la == 0 or lb == 0:
-        return 0.0
-    window = max(la, lb) // 2 - 1
-    if window < 0:
-        window = 0
-    fa = [False] * la
-    fb = [False] * lb
-    matches = 0
-    for i in range(la):
-        lo, hi = max(0, i - window), min(lb, i + window + 1)
-        for j in range(lo, hi):
-            if not fb[j] and a[i] == b[j]:
-                fa[i] = fb[j] = True
-                matches += 1
-                break
-    if matches == 0:
-        return 0.0
-    t = 0
-    j = 0
-    for i in range(la):
-        if fa[i]:
-            while not fb[j]:
-                j += 1
-            if a[i] != b[j]:
-                t += 1
-            j += 1
-    t //= 2
-    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
-
-
-def jaro_winkler_py(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Jaro-Winkler similarity (Winkler 1990, public formula)."""
-    j = _jaro(a, b)
-    if j <= 0.7:
-        return j
-    prefix = 0
-    for x, y in zip(a[:max_prefix], b[:max_prefix]):
-        if x != y:
-            break
-        prefix += 1
-    return j + prefix * p * (1.0 - j)
+from ..functions.jaro import (  # noqa: E402  (re-export for tests)
+    JW_MAXLEN,
+    jaro_winkler_batch,
+    jaro_winkler_py,
+)
 
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    # Arrow-batched: one Python call per ~10k-row batch, string ops in a
-    # tight loop over the batch (no per-row Spark round trip).
-    return pd.Series(
-        [jaro_winkler_py(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    # One numpy bit-parallel kernel call per Arrow batch — no per-row
+    # Python anywhere (input_hint requirement); ~87k pairs/s/core vs ~25k
+    # for the round-1 interpreted loop (tools/bench_scoring.py).
+    return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()), dtype="float64")
+
+
+def jaro_winkler_sql(a_expr: str, b_expr: str) -> str:
+    """DuckDB twin of `jaro_winkler_udf` (same 64-char truncation)."""
+    return (
+        f"jaro_winkler_similarity(substr({a_expr}, 1, {JW_MAXLEN}), "
+        f"substr({b_expr}, 1, {JW_MAXLEN}))"
     )
 
 

@@ -24,10 +24,23 @@ The reference's statistical-index builders re-expressed relationally:
                          (`md/MentionDetection.java:264-288`)
 
 Scale shape: all aggregations are partial-agg'd groupBys; the only
-self-join (co-occurrence) is df-bounded on both sides (min-support + cap),
-which is the reference's own fanout-guard precedent applied to pairs.
+self-join (co-occurrence) is df-bounded on both sides (min-support + cap)
+and per-doc top-k-bounded, which is the reference's own fanout-guard
+precedent applied to pairs.
 Float parity: ln/round(·,6) computed with identical operand order in both
-engines.
+engines. Known residual risk (documented, accepted): round(·,6) over sums
+of doubles (importance, cosine dot) depends on summation order, which
+Spark partial aggregation and DuckDB do not guarantee identically; a value
+landing exactly on a 6-dp rounding boundary could hash-mismatch. Observed
+never in practice on this corpus; the alternative (sort-then-sum in both
+engines) would serialize the aggregation and is not worth it.
+
+IDF deviation from the reference (T7): `token_tfidf` uses the textbook
+unsmoothed idf = ln(N/df). The reference's exact semantics —
+log10(N/(df+1)) smoothing on dictionary miss, 0 when df == N
+(`/root/reference/src/index/TermDocumentFrequencyIndex.java:37-51`) — are
+provided verbatim by `token_tfidf_ref` below (oracle-checked), so both
+formulas are first-class.
 """
 
 from __future__ import annotations
@@ -42,6 +55,12 @@ CUT_NUM, CUT_DEN = 2, 100  # A3: LIMIT_CANDIDATES = 0.02
 # corpus: keep terms with df <= 3/4 · N (ubiquitous terms carry no signal
 # and explode the self-join)
 COOC_CAP_NUM, COOC_CAP_DEN = 3, 4
+# per-doc co-occurrence contribution bound: each doc contributes pairs only
+# among its MW_DOC_TOPK rarest terms (df asc, term asc tie-break). Without
+# this one long document with many mid-df terms emits a quadratic partition
+# at 100× scale; the reference's top-6% mention cut per doc
+# (`md/MentionDetection.java:32,166-209`) is the precedent.
+MW_DOC_TOPK = 32
 ANCHOR_PREFIX = 3  # token counts as "linked" when in the doc's first 3 tokens
 
 
@@ -115,6 +134,59 @@ def token_tfidf_sql(records_rel: str) -> str:
       JOIN ({term_df_sql(records_rel)}) d USING (term)
       CROSS JOIN (SELECT count(*) AS n_docs FROM ({records_rel})) n
     )
+    """
+
+
+def token_tfidf_ref(records: DataFrame) -> DataFrame:
+    """T7 reference-parity idf (`TermDocumentFrequencyIndex.java:37-51`):
+    idf10 = log10(N/df), exactly 0 when df == N; idf10_miss is the
+    dictionary-miss smoothing path log10(N/(df+1)) the reference applies
+    to unseen terms (no corpus term hits it — exposed as a column so the
+    formula itself is oracle-checked). tfidf10 = tf·idf10."""
+    n_docs = records.agg(F.count("*").alias("n_docs"))
+    tf = (
+        records.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = F.col("n_docs").cast("double")
+    idf10 = F.when(F.col("df") == F.col("n_docs"), F.lit(0.0)).otherwise(
+        F.log10(n / F.col("df").cast("double"))
+    )
+    return (
+        tf.join(term_df(records), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(idf10, 6).alias("idf10"),
+            F.round(F.log10(n / (F.col("df").cast("double") + F.lit(1.0))), 6).alias(
+                "idf10_miss"
+            ),
+            F.round(F.col("tf").cast("double") * idf10, 6).alias("tfidf10"),
+        )
+    )
+
+
+def token_tfidf_ref_sql(records_rel: str) -> str:
+    idf10 = (
+        "CASE WHEN df = n_docs THEN 0.0 "
+        "ELSE log10(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) END"
+    )
+    return f"""
+    SELECT doc_id, term, tf, df,
+           round({idf10}, 6) AS idf10,
+           round(log10(CAST(n_docs AS DOUBLE) / (CAST(df AS DOUBLE) + 1.0)), 6) AS idf10_miss,
+           round(CAST(tf AS DOUBLE) * ({idf10}), 6) AS tfidf10
+    FROM (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS term FROM ({records_rel}))
+      GROUP BY doc_id, term
+    ) t
+    JOIN ({term_df_sql(records_rel)}) d USING (term)
+    CROSS JOIN (SELECT count(*) AS n_docs FROM ({records_rel})) n
     """
 
 
@@ -234,11 +306,15 @@ def source_candidate_cut_sql(records_rel: str) -> str:
     """
 
 
-def milne_witten_relatedness(records: DataFrame) -> DataFrame:
+def milne_witten_relatedness(
+    records: DataFrame, doc_topk: int = MW_DOC_TOPK
+) -> DataFrame:
     """(term_a, term_b, co, df_a, df_b, relatedness): Milne-Witten 2008
     semantic relatedness over token co-occurrence sets. Terms bounded to
     MIN_SUPPORT <= df <= 3/4·N before the self-join — the same two-sided
-    guard the reference applies to its dictionaries (F3) and fanout (F4).
+    guard the reference applies to its dictionaries (F3) and fanout (F4) —
+    and each doc contributes only its `doc_topk` rarest terms, bounding the
+    per-doc pair fanout to doc_topk²/2 regardless of document length.
     relatedness = 1 - (ln max - ln co) / (ln N - ln min), clamped [0,1]."""
     n_docs = records.agg(F.count("*").alias("n_docs"))
     dfd = (
@@ -250,9 +326,13 @@ def milne_witten_relatedness(records: DataFrame) -> DataFrame:
         )
         .select("term", "df")
     )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("term"))
     occ = (
         records.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
         .join(dfd, "term")
+        .withColumn("_r", F.row_number().over(wdoc))
+        .filter(F.col("_r") <= doc_topk)
+        .drop("_r")
     )
     a = occ.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
     b = occ.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
@@ -284,16 +364,21 @@ def milne_witten_relatedness(records: DataFrame) -> DataFrame:
     )
 
 
-def milne_witten_relatedness_sql(records_rel: str) -> str:
+def milne_witten_relatedness_sql(
+    records_rel: str, doc_topk: int = MW_DOC_TOPK
+) -> str:
     dfd = (
         f"SELECT term, df FROM ({term_df_sql(records_rel)}) "
         f"CROSS JOIN (SELECT count(*) AS n_docs FROM ({records_rel})) nn "
         f"WHERE df >= {MIN_SUPPORT} AND df * {COOC_CAP_DEN} <= nn.n_docs * {COOC_CAP_NUM}"
     )
     occ = f"""
-    SELECT o.doc_id, o.term, d.df
-    FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM ({records_rel})) o
-    JOIN ({dfd}) d USING (term)
+    SELECT doc_id, term, df FROM (
+      SELECT o.doc_id, o.term, d.df,
+             row_number() OVER (PARTITION BY o.doc_id ORDER BY d.df ASC, o.term ASC) AS _r
+      FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM ({records_rel})) o
+      JOIN ({dfd}) d USING (term)
+    ) WHERE _r <= {doc_topk}
     """
     return f"""
     SELECT term_a, term_b, co, df_a, df_b,

@@ -145,3 +145,45 @@ def test_link_normalize_golden(spark, duck):
         esc = raw.replace("'", "''")
         d = duck.execute(f"SELECT {link_normalize_sql(repr(raw))}").fetchone()[0]
         assert d == want, (raw, d, want)
+
+
+def test_jaro_winkler_batch_matches_scalar_and_duckdb(duck):
+    """The numpy bit-parallel batch kernel (functions/jaro.py) must be
+    bit-identical to both the scalar reference implementation and DuckDB's
+    jaro_winkler_similarity (the oracle for the pair_jaro_winkler query)."""
+    import random
+
+    import numpy as np
+
+    from entity_linking_spark.functions.jaro import (
+        JW_MAXLEN,
+        jaro_winkler_batch,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(1234)
+    chars = "abcdef 012"
+    pairs = []
+    for _ in range(3000):
+        a = "".join(rng.choice(chars) for _ in range(rng.randint(0, 90)))
+        b = "".join(rng.choice(chars) for _ in range(rng.randint(0, 90)))
+        if rng.random() < 0.3:  # force near-duplicates + exacts
+            b = a[: max(0, len(a) - rng.randint(0, 4))] + b[:4]
+        if rng.random() < 0.05:
+            b = a
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "x"), ("martha", "marhta"), ("dwayne", "duane"),
+              ("ünïcode", "ünicode"), ("ünïcode", "unicode")]  # fallback path
+    got = jaro_winkler_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([jaro_winkler_py(a, b) for a, b in pairs])
+    assert np.max(np.abs(got - want)) == 0.0
+
+    duck.execute("CREATE OR REPLACE TABLE _jwf(a VARCHAR, b VARCHAR)")
+    duck.executemany("INSERT INTO _jwf VALUES (?, ?)", pairs)
+    ref = np.array(
+        duck.execute(
+            f"SELECT jaro_winkler_similarity(substr(a,1,{JW_MAXLEN}),"
+            f" substr(b,1,{JW_MAXLEN})) FROM _jwf"
+        ).fetchall()
+    ).ravel()
+    assert np.max(np.abs(got - ref)) == 0.0
