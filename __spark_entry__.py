@@ -25,6 +25,7 @@ from entity_linking_spark.functions.normalize import (
 from entity_linking_spark.operators import blocking as B
 from entity_linking_spark.operators import clustering as C
 from entity_linking_spark.operators import dedup as D
+from entity_linking_spark.operators import dictionary as DICT
 from entity_linking_spark.operators import events as EV
 from entity_linking_spark.operators import graphwalk as GW
 from entity_linking_spark.operators import multimodal as MM
@@ -136,6 +137,25 @@ def q_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.token_blocks(_records(spark, sf_dir))
 
 
+def q_alias_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: corpus-derived alias dictionary (variant key → canonical
+    surface), the `MentionIndex` analog."""
+    return DICT.alias_dictionary(_records(spark, sf_dir))
+
+
+def q_dict_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: broadcast dictionary-lookup join — records land in one block
+    per hit canonical (acronym/short-form/concat recall)."""
+    recs = _records(spark, sf_dir)
+    return DICT.dict_blocks(recs, DICT.alias_dictionary(recs))
+
+
+def q_fuzzy_dict_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood (SymSpell-style) typo-tolerant dictionary
+    blocks: leading tokens within ~1 edit share a block."""
+    return DICT.fuzzy_dict_blocks(_records(spark, sf_dir))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.minhash_signatures(
         _records(spark, sf_dir), CFG.n_perm, CFG.shingle, CFG.seed, CFG.hash_mode
@@ -173,9 +193,32 @@ def q_pair_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scored_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scorer with T9 popularity, T11 prior p(e|m), T10 log-PMI λ
+    over block co-membership, and the combined logistic score."""
+    capped = P.cap_blocks(_blocks(spark, sf_dir), CFG.block_cap)
+    stats = S.pair_block_stats(_pairs(spark, sf_dir), capped)
+    return S.scored_pairs_full(_features(spark, sf_dir), stats, capped)
+
+
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.clusters_with_singletons(
         _records(spark, sf_dir), _edges(spark, sf_dir), max_iter=CFG.cc_max_iter
+    )
+
+
+def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 parity: sorted-deduped member collect per cluster — the
+    reference reducer's TreeSet-of-inlinks index
+    (`EntityMentionIndexBuilder.java:166-178`) as
+    sort_array(collect_set(...)) over cluster membership."""
+    return (
+        q_entity_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("rec_key")), ",").alias("members"),
+            F.count("*").alias("n_members"),
+        )
     )
 
 
@@ -314,6 +357,26 @@ def q_pagerank(spark, sf_dir):
     return GW.pagerank(records.select("rec_key"), _edges(spark, sf_dir))
 
 
+def q_pagerank_priors(spark, sf_dir):
+    """G5 parity: personalized PageRank with teleport ∝ record importance
+    (per-turn TF-IDF mass), matching the reference's priors = mention
+    importance (`RandomGraphWalk.java:166-188`)."""
+    records = _records(spark, sf_dir)
+    turns = records.select(F.col("rec_key").alias("doc_id"), "tokens")
+    pri = (
+        TFI.token_tfidf(turns)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tfidf"), 6).alias("prior"))
+        .select(F.col("doc_id").alias("rec_key"), "prior")
+    )
+    nodes = (
+        records.select("rec_key")
+        .join(pri, "rec_key", "left")
+        .select("rec_key", F.coalesce("prior", F.lit(0.0)).alias("prior"))
+    )
+    return GW.pagerank_with_priors(nodes, _edges(spark, sf_dir))
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(load_table(spark, sf_dir, "events"))
 
@@ -350,13 +413,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "records_prepare": q_records,
         "blocks_first_token": q_first_token_blocks,
         "blocks_token": q_token_blocks,
+        "alias_dictionary": q_alias_dictionary,
+        "dict_blocks": q_dict_blocks,
+        "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
         "minhash_signatures": q_minhash_signatures,
         "lsh_blocks": q_lsh_blocks,
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_jaro_winkler": q_pair_jaro_winkler,
+        "scored_pairs_full": q_scored_pairs_full,
         "match_edges": q_match_edges,
         "entity_clusters": q_entity_clusters,
+        "cluster_members": q_cluster_members,
         "cluster_sizes": q_cluster_sizes,
         # training-data pipeline family
         "text_stats": q_text_stats,
@@ -382,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "link_normalize": q_link_normalize,
         "pagerank": q_pagerank,
+        "pagerank_priors": q_pagerank_priors,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_json_props": q_events_json_props,
@@ -406,6 +475,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "blocks_first_token": B.first_token_blocks_sql(recs),
         "blocks_token": B.token_blocks_sql(recs),
+        "alias_dictionary": (
+            f"WITH recs AS ({recs}) "
+            + DICT.alias_dictionary_sql("SELECT * FROM recs")
+        ),
+        "dict_blocks": (
+            f"WITH recs AS ({recs}), "
+            f"ad AS ({DICT.alias_dictionary_sql('SELECT * FROM recs')}) "
+            + DICT.dict_blocks_sql("SELECT * FROM recs", "SELECT * FROM ad")
+        ),
+        "fuzzy_dict_blocks": (
+            f"WITH recs AS ({recs}) "
+            + DICT.fuzzy_dict_blocks_sql("SELECT * FROM recs")
+        ),
         "minhash_signatures": sig_sql,
         "lsh_blocks": B.lsh_blocks_sql(sig_sql, CFG.n_perm, CFG.band_rows),
         "candidate_pairs": ORACLE.stage_sql("SELECT * FROM pairs", CFG),
@@ -418,8 +500,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM features",
             CFG,
         ),
+        "scored_pairs_full": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+            f"capped AS ({P.cap_blocks_sql('SELECT * FROM blocks', CFG.block_cap)}), "
+            f"stats AS ({S.pair_block_stats_sql('SELECT * FROM pairs', 'SELECT * FROM capped')}) "
+            + S.scored_pairs_full_sql(
+                "SELECT * FROM features", "SELECT * FROM stats", "SELECT * FROM capped"
+            )
+        ),
         "match_edges": ORACLE.stage_sql("SELECT * FROM edges", CFG),
         "entity_clusters": ORACLE.clusters_oracle_sql(CFG),
+        "cluster_members": (
+            "SELECT cluster_id, "
+            "array_to_string(list_sort(list(DISTINCT rec_key)), ',') AS members, "
+            "count(*) AS n_members FROM ("
+            f"{ORACLE.clusters_oracle_sql(CFG)}"
+            ") GROUP BY cluster_id"
+        ),
         "cluster_sizes": (
             "SELECT n_members, count(*) AS n_clusters FROM ("
             "  SELECT cluster_id, count(*) AS n_members FROM ("
@@ -430,6 +527,27 @@ def oracle_sql() -> dict[str, str]:
         # training-data pipeline family
         **_training_data_oracles(),
     }
+
+
+def _pagerank_priors_oracle() -> str:
+    from entity_linking_spark.operators import tfidf as _T
+
+    turn_tfidf = _T.token_tfidf_sql("SELECT rec_key AS doc_id, tokens FROM records_m")
+    body, final = GW.pagerank_priors_ctes(
+        "SELECT * FROM nodes_pri", "SELECT * FROM edges_m"
+    )
+    return (
+        f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+        f"records_m AS MATERIALIZED (SELECT * FROM records), "
+        f"edges_m AS MATERIALIZED (SELECT * FROM edges), "
+        f"turn_tfidf AS MATERIALIZED ({turn_tfidf}), "
+        f"pri AS (SELECT doc_id AS rec_key, round(sum(tfidf), 6) AS prior "
+        f"        FROM turn_tfidf GROUP BY doc_id), "
+        f"nodes_pri AS (SELECT r.rec_key, coalesce(p.prior, 0.0) AS prior "
+        f"              FROM (SELECT rec_key FROM records_m) r "
+        f"              LEFT JOIN pri p USING (rec_key)), "
+        f"{body} {final}"
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -489,6 +607,7 @@ def _training_data_oracles() -> dict[str, str]:
             f"SELECT doc_id, {link_normalize_sql('text')} AS link_norm FROM documents"
         ),
         "pagerank": _pagerank_oracle(),
+        "pagerank_priors": _pagerank_priors_oracle(),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
         "events_json_props": EV.json_props_sql("SELECT * FROM events"),

@@ -148,3 +148,102 @@ def pagerank_sql(
 ) -> str:
     body, final = pagerank_ctes(nodes_rel, edges_rel, iters, alpha)
     return f"WITH {body} {final}"
+
+
+# ---------------------------------------------------------------------------
+# G5 — personalized priors (PageRankWithPriors parity)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_with_priors(
+    nodes_prior: DataFrame,
+    edges: DataFrame,
+    iters: int = DEFAULT_ITERS,
+    alpha: float = ALPHA,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(rec_key, rank): PageRank with a personalized teleport vector —
+    the reference runs JUNG `PageRankWithPriors` with priors proportional
+    to mention importance and zero for entities
+    (`/root/reference/src/baseline/RandomGraphWalk.java:45,166-188`,
+    `baseline/Vertex.java:17-27`). `nodes_prior`: (rec_key, prior >= 0);
+    teleport π = prior / Σprior, p₀ = π, p_{k+1} = α·π + (1-α)·inflow.
+    Same two-shuffle superstep + localCheckpoint discipline as `pagerank`;
+    Σp = 1 invariant holds (self-loops keep the chain dangling-free)."""
+    nodes = nodes_prior.select("rec_key")
+    g = _sym_edges_with_loops(edges, nodes)
+    outdeg = g.groupBy("src").agg(F.count("*").alias("outdeg"))
+    g = g.join(outdeg, "src")
+    if checkpoint:
+        g = g.localCheckpoint()
+    psum = nodes_prior.agg(F.sum("prior").alias("s"))
+    pi = (
+        nodes_prior.crossJoin(F.broadcast(psum))
+        .select(
+            F.col("rec_key").alias("node"),
+            (F.col("prior") / F.col("s")).alias("pi"),
+        )
+    )
+    if checkpoint:
+        pi = pi.localCheckpoint()
+    p = pi.select("node", F.col("pi").alias("p"))
+    for _ in range(iters):
+        contrib = (
+            g.join(p, g["src"] == p["node"])
+            .select(F.col("dst").alias("node"), (F.col("p") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        p = pi.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(alpha) * F.col("pi")
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("p"),
+        )
+        if checkpoint:
+            p = p.localCheckpoint()
+    return p.select(F.col("node").alias("rec_key"), F.round("p", 6).alias("rank"))
+
+
+def pagerank_priors_ctes(
+    nodes_rel: str,
+    edges_rel: str,
+    iters: int = DEFAULT_ITERS,
+    alpha: float = ALPHA,
+) -> tuple[str, str]:
+    """DuckDB twin of `pagerank_with_priors`. nodes_rel must yield
+    (rec_key, prior); edges_rel (a_key, b_key)."""
+    ctes = [
+        f"""nodesp_m AS MATERIALIZED (SELECT rec_key, prior FROM ({nodes_rel})),
+        gp AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT a_key AS src, b_key AS dst FROM ({edges_rel})
+            UNION
+            SELECT b_key AS src, a_key AS dst FROM ({edges_rel})
+            UNION
+            SELECT rec_key AS src, rec_key AS dst FROM nodesp_m
+          )
+        )""",
+        "gdp AS MATERIALIZED (SELECT gp.src, gp.dst, d.outdeg FROM gp JOIN ("
+        "SELECT src, count(*) AS outdeg FROM gp GROUP BY src) d USING (src))",
+        "psum AS MATERIALIZED (SELECT sum(prior) AS s FROM nodesp_m)",
+        "piv AS MATERIALIZED (SELECT rec_key AS node, prior / psum.s AS pi "
+        "FROM nodesp_m CROSS JOIN psum)",
+        "pp0 AS (SELECT node, pi AS p FROM piv)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""pp{k} AS MATERIALIZED (
+              SELECT piv.node,
+                     {alpha!r} * piv.pi + {1.0 - alpha!r} * coalesce(i.inflow, 0.0) AS p
+              FROM piv
+              LEFT JOIN (
+                SELECT gdp.dst AS node, sum(pq.p / gdp.outdeg) AS inflow
+                FROM gdp JOIN pp{k - 1} pq ON gdp.src = pq.node
+                GROUP BY gdp.dst
+              ) i ON piv.node = i.node
+            )"""
+        )
+    body = ",\n".join(ctes)
+    return body, f"SELECT node AS rec_key, round(p, 6) AS rank FROM pp{iters}"

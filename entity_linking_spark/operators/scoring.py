@@ -175,3 +175,156 @@ def scored_pairs(features: DataFrame, with_jw: bool = False) -> DataFrame:
     if with_jw:
         out = out.withColumn("jw", jaro_winkler_udf(F.col("a_norm"), F.col("b_norm")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# T9/T10/T11 — popularity, candidate prior, and log-PMI compatibility (λ)
+# over block co-membership statistics
+# ---------------------------------------------------------------------------
+#
+# The reference's full scorer combines a candidate prior p(e|m) =
+# freq(e,m)/freq(m) (`/root/reference/src/data/NameEntry.java:32-36`,
+# consumed at `loopybeliefpropagation/ScorerFull.java:45,95`), popularity
+# 1+|inlinks| (T9, `index/EntityLinksIndex.java:58-61`), and a log-PMI
+# link-compatibility term λ = log(cocit) − log(pop1) − log(pop2) floored
+# at the anticorrelation constant log(PAIRS) − 2·log(LINKS)
+# (`ScorerFull.java:19-21,100-119`). Transcripts have no link graph, so
+# the *block co-membership graph* plays its role — the same statistical
+# object (how often two records are attested together vs how promiscuous
+# each is), derived from data the pipeline already computed:
+#   pop(r)      = 1 + #blocks(r)                     (T9 analog)
+#   prior(a,b)  = co(a,b) / min(#blocks a, #blocks b) (T11 analog)
+#   λ(a,b)      = ln co − ln pop_a − ln pop_b,
+#                 floored at ln Σco − 2·ln Σmemberships (T10 analog)
+
+W_PRIOR = 2.0
+W_LAM = 1.0
+
+
+def pair_block_stats(pairs: DataFrame, capped_blocks: DataFrame) -> DataFrame:
+    """(a_key, b_key, co, nb_a, nb_b): shared-block count per pair and
+    distinct-block count per side, over the capped block table the pairs
+    were generated from. One groupBy per side + one pair-keyed groupBy —
+    all shuffles on bounded keys (the cap bounds block size; block count
+    per record is bounded by the number of block families + LSH bands)."""
+    nb = capped_blocks.groupBy("rec_key").agg(
+        F.countDistinct("block_key").alias("nb")
+    )
+    ba = capped_blocks.select(F.col("rec_key").alias("a_key"), "block_key")
+    bb = capped_blocks.select(F.col("rec_key").alias("b_key"), "block_key")
+    co = (
+        pairs.join(ba, "a_key")
+        .join(bb, ["b_key", "block_key"])
+        .groupBy("a_key", "b_key")
+        .agg(F.countDistinct("block_key").alias("co"))
+    )
+    na = nb.select(F.col("rec_key").alias("a_key"), F.col("nb").alias("nb_a"))
+    nbb = nb.select(F.col("rec_key").alias("b_key"), F.col("nb").alias("nb_b"))
+    return (
+        pairs.join(co, ["a_key", "b_key"], "left")
+        .join(na, "a_key")
+        .join(nbb, "b_key")
+        .select(
+            "a_key", "b_key", F.coalesce("co", F.lit(0)).alias("co"), "nb_a", "nb_b"
+        )
+    )
+
+
+def pair_block_stats_sql(pairs_rel: str, capped_rel: str) -> str:
+    return f"""
+    SELECT p.a_key, p.b_key, coalesce(c.co, 0) AS co, na.nb AS nb_a, nbb.nb AS nb_b
+    FROM ({pairs_rel}) p
+    LEFT JOIN (
+      SELECT ba.rec_key AS a_key, bb.rec_key AS b_key,
+             count(DISTINCT ba.block_key) AS co
+      FROM ({capped_rel}) ba
+      JOIN ({capped_rel}) bb USING (block_key)
+      JOIN ({pairs_rel}) pp ON pp.a_key = ba.rec_key AND pp.b_key = bb.rec_key
+      GROUP BY ba.rec_key, bb.rec_key
+    ) c ON p.a_key = c.a_key AND p.b_key = c.b_key
+    JOIN (SELECT rec_key, count(DISTINCT block_key) AS nb FROM ({capped_rel}) GROUP BY rec_key) na
+      ON p.a_key = na.rec_key
+    JOIN (SELECT rec_key, count(DISTINCT block_key) AS nb FROM ({capped_rel}) GROUP BY rec_key) nbb
+      ON p.b_key = nbb.rec_key
+    """
+
+
+def scored_pairs_full(
+    features: DataFrame, stats: DataFrame, capped_blocks: DataFrame
+) -> DataFrame:
+    """Full scorer row: similarity features + prior + λ + combined score.
+
+    Output: (a_key, b_key, co, pop_a, pop_b, prior, lam, score_full), the
+    float columns rounded to 6 dp for oracle hashing. The anticorrelation
+    floor is computed from corpus totals (Σco over pairs, Σ block
+    memberships), mirroring the reference's corpus constants."""
+    totals = stats.agg(
+        F.sum("co").alias("tot_co"),
+    ).crossJoin(
+        capped_blocks.agg(F.count("*").alias("tot_mem"))
+    )
+    df = features.join(stats, ["a_key", "b_key"]).crossJoin(F.broadcast(totals))
+    pop_a = F.lit(1) + F.col("nb_a")
+    pop_b = F.lit(1) + F.col("nb_b")
+    prior = F.col("co") / F.least("nb_a", "nb_b")
+    lam_floor = F.log(F.col("tot_co").cast("double")) - F.lit(2.0) * F.log(
+        F.col("tot_mem").cast("double")
+    )
+    lam = F.greatest(
+        F.log(F.col("co").cast("double"))
+        - F.log(pop_a.cast("double"))
+        - F.log(pop_b.cast("double")),
+        lam_floor,
+    )
+    lam_norm = F.lit(1.0) - lam / lam_floor  # [0,1]: floor→0, λ=0→1
+    jacc = F.col("inter") / F.greatest(F.col("uni"), F.lit(1))
+    lev_sim = F.lit(1.0) - F.col("lev") / F.greatest(F.col("maxlen"), F.lit(1))
+    z = (
+        F.lit(LOGIT_BIAS)
+        + F.lit(LOGIT_W_JACC) * jacc
+        + F.lit(LOGIT_W_LEV) * lev_sim
+        + F.lit(LOGIT_W_EXACT) * F.col("exact")
+        + F.lit(W_PRIOR) * prior
+        + F.lit(W_LAM) * lam_norm
+    )
+    return df.select(
+        "a_key",
+        "b_key",
+        "co",
+        pop_a.alias("pop_a"),
+        pop_b.alias("pop_b"),
+        F.round(prior, 6).alias("prior"),
+        F.round(lam, 6).alias("lam"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score_full"),
+    )
+
+
+def scored_pairs_full_sql(
+    features_rel: str, stats_rel: str, capped_rel: str
+) -> str:
+    lam_floor = "(ln(CAST(t.tot_co AS DOUBLE)) - 2.0 * ln(CAST(t.tot_mem AS DOUBLE)))"
+    lam = (
+        f"greatest(ln(CAST(s.co AS DOUBLE)) - ln(CAST(1 + s.nb_a AS DOUBLE)) "
+        f"- ln(CAST(1 + s.nb_b AS DOUBLE)), {lam_floor})"
+    )
+    prior = "(CAST(s.co AS DOUBLE) / least(s.nb_a, s.nb_b))"
+    z = (
+        f"{LOGIT_BIAS} + {LOGIT_W_JACC} * (f.inter / CAST(greatest(f.uni, 1) AS DOUBLE)) "
+        f"+ {LOGIT_W_LEV} * (1.0 - f.lev / CAST(greatest(f.maxlen, 1) AS DOUBLE)) "
+        f"+ {LOGIT_W_EXACT} * f.exact "
+        f"+ {W_PRIOR} * {prior} "
+        f"+ {W_LAM} * (1.0 - {lam} / {lam_floor})"
+    )
+    return f"""
+    SELECT f.a_key, f.b_key, s.co,
+           1 + s.nb_a AS pop_a, 1 + s.nb_b AS pop_b,
+           round({prior}, 6) AS prior,
+           round({lam}, 6) AS lam,
+           round(1.0 / (1.0 + exp(-({z}))), 6) AS score_full
+    FROM ({features_rel}) f
+    JOIN ({stats_rel}) s ON f.a_key = s.a_key AND f.b_key = s.b_key
+    CROSS JOIN (
+      SELECT (SELECT sum(co) FROM ({stats_rel})) AS tot_co,
+             (SELECT count(*) FROM ({capped_rel})) AS tot_mem
+    ) t
+    """

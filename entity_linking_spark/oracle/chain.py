@@ -5,6 +5,7 @@ pipeline stage so every intermediate can be checked independently."""
 from __future__ import annotations
 
 from ..operators import blocking as B
+from ..operators import dictionary as DICT
 from ..operators import pairs as P
 from ..operators import scoring as S
 from ..operators.clustering import clusters_sql
@@ -18,6 +19,7 @@ def pipeline_ctes(cfg: LinkingConfig | None = None, documents_rel: str = "docume
     cfg = cfg or LinkingConfig()
     tsql = derive_transcripts_sql(documents_rel)
     records = B.prepare_records_sql("SELECT * FROM transcripts")
+    adict = DICT.alias_dictionary_sql("SELECT * FROM records")
     parts = []
     if cfg.use_first_token:
         parts.append(B.first_token_blocks_sql("SELECT * FROM records"))
@@ -28,6 +30,12 @@ def pipeline_ctes(cfg: LinkingConfig | None = None, documents_rel: str = "docume
             "SELECT * FROM records", cfg.n_perm, cfg.shingle, cfg.seed
         )
         parts.append(B.lsh_blocks_sql(sig, cfg.n_perm, cfg.band_rows))
+    if cfg.use_dict:
+        parts.append(
+            DICT.dict_blocks_sql("SELECT * FROM records", "SELECT * FROM alias_dict")
+        )
+    if cfg.use_fuzzy_dict:
+        parts.append(DICT.fuzzy_dict_blocks_sql("SELECT * FROM records"))
     blocks = " UNION ALL ".join(f"({p})" for p in parts)
     prs = P.block_pairs_sql("SELECT * FROM blocks", cfg.block_cap)
     feats = S.pair_features_sql("SELECT * FROM pairs", "SELECT * FROM records")
@@ -35,6 +43,7 @@ def pipeline_ctes(cfg: LinkingConfig | None = None, documents_rel: str = "docume
     return f"""
     transcripts AS ({tsql}),
     records AS ({records}),
+    alias_dict AS ({adict}),
     blocks AS ({blocks}),
     pairs AS ({prs}),
     features AS ({feats}),

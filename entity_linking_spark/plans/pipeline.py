@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators import blocking as B
 from ..operators import clustering as C
+from ..operators import dictionary as DICT
 from ..operators import pairs as P
 from ..operators import scoring as S
 
@@ -42,11 +43,20 @@ class LinkingConfig:
     use_first_token: bool = True
     use_tokens: bool = True
     use_lsh: bool = True
+    # J3/S3: alias-dictionary blocks (corpus-derived by default; pass an
+    # external dictionary DataFrame to build_blocks to override). This is
+    # the only block family that recovers acronym/short-form aliases.
+    use_dict: bool = True
+    # SymSpell-style deletion-neighborhood blocks: typo-tolerant unigram
+    # dictionary (linear-time alternative to pairwise edit distance)
+    use_fuzzy_dict: bool = True
     cc_max_iter: int = 20
     extra: dict = field(default_factory=dict)
 
 
-def build_blocks(records: DataFrame, cfg: LinkingConfig) -> DataFrame:
+def build_blocks(
+    records: DataFrame, cfg: LinkingConfig, dictionary: DataFrame | None = None
+) -> DataFrame:
     parts = []
     if cfg.use_first_token:
         parts.append(B.first_token_blocks(records))
@@ -57,6 +67,12 @@ def build_blocks(records: DataFrame, cfg: LinkingConfig) -> DataFrame:
             records, cfg.n_perm, cfg.shingle, cfg.seed, cfg.hash_mode
         )
         parts.append(B.lsh_blocks(sigs, cfg.n_perm, cfg.band_rows))
+    if cfg.use_dict:
+        if dictionary is None:
+            dictionary = DICT.alias_dictionary(records)
+        parts.append(DICT.dict_blocks(records, dictionary))
+    if cfg.use_fuzzy_dict:
+        parts.append(DICT.fuzzy_dict_blocks(records))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

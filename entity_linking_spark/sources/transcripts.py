@@ -186,6 +186,7 @@ def synth_transcripts(
     seed: int = 42,
     hot_alias_rate: float = 0.0,
     hard_variants: bool = False,
+    include_attrs: bool = True,
 ):
     """Returns (transcripts_df, gold_df). Each turn is an entity *profile
     record*: an alias surface-form variant followed by the entity's stable
@@ -193,7 +194,11 @@ def synth_transcripts(
     input shape. Gold labels the entity. `hot_alias_rate` > 0 redirects
     that fraction of turns to entity 0, creating a hot blocking key (skew
     test, FIXTURES.md §6). `hard_variants` adds acronym/short aliases that
-    only dictionary-based linking could resolve (blocking stress only)."""
+    only dictionary-based linking could resolve (blocking stress only).
+    `include_attrs=False` drops the shared attribute tokens (replacing
+    them with per-record noise), making the alias surface the ONLY
+    linking signal — the regime where dictionary candidate generation is
+    load-bearing (tests/test_dictionary.py)."""
     import datetime
 
     rng = random.Random(seed)
@@ -215,7 +220,10 @@ def synth_transcripts(
             else:
                 eid, stem, vs = entities[rng.randrange(n_entities)]
             alias = vs[rng.randrange(len(vs))]
-            attrs = " ".join(_attr_tokens(eid, stem))
+            if include_attrs:
+                attrs = " ".join(_attr_tokens(eid, stem))
+            else:  # unique per-record tokens: no cross-record signal
+                attrs = f"u{c:04d}{t}a u{c:04d}{t}b"
             noise = rng.choice(_FILLER)
             text = f"{alias} {attrs} {noise}"
             if rng.random() < 0.1:  # normalizer exercise
