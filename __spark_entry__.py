@@ -23,19 +23,25 @@ from entity_linking_spark.functions.normalize import (
     normalize_text_sql,
 )
 from entity_linking_spark.operators import blocking as B
+from entity_linking_spark.operators import calibration as CAL
 from entity_linking_spark.operators import clustering as C
+from entity_linking_spark.operators import incremental as INC
 from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
 from entity_linking_spark.operators import events as EV
 from entity_linking_spark.operators import graphwalk as GW
 from entity_linking_spark.operators import multimodal as MM
 from entity_linking_spark.operators import pairs as P
+from entity_linking_spark.operators import relational as REL
 from entity_linking_spark.operators import scoring as S
 from entity_linking_spark.operators import simsearch as SS
 from entity_linking_spark.operators import textanalysis as TA
 from entity_linking_spark.operators import tfidf as TFI
 from entity_linking_spark.oracle import chain as ORACLE
-from entity_linking_spark.plans.pipeline import LinkingConfig, build_blocks
+from entity_linking_spark.plans.pipeline import (
+    LinkingConfig,
+    build_blocks,
+)
 from entity_linking_spark.sources.tables import load_table
 from entity_linking_spark.sources.transcripts import (
     derive_transcripts,
@@ -99,6 +105,18 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(
         spark, sf_dir, "edges", lambda: S.match_edges(_features(spark, sf_dir))
+    )
+
+
+def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clustering is iterative (localCheckpoint per superstep), so three
+    # queries re-deriving it (clusters, sizes, members) would triple the
+    # most expensive stage; one cached copy serves all
+    return _memo(
+        spark, sf_dir, "clusters",
+        lambda: C.clusters_with_singletons(
+            _records(spark, sf_dir), _edges(spark, sf_dir), max_iter=CFG.cc_max_iter
+        ),
     )
 
 
@@ -202,9 +220,47 @@ def q_scored_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.clusters_with_singletons(
-        _records(spark, sf_dir), _edges(spark, sf_dir), max_iter=CFG.cc_max_iter
+    return _clusters(spark, sf_dir)
+
+
+def q_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass threshold sweep (VerifyBaseline.java:90-137 analog) over
+    the logistic score with exact-text equality as the self-supervised
+    label — P/R/F1 at 20 grid points from ONE aggregation."""
+    scored = S.scored_pairs(_features(spark, sf_dir))
+    labeled = scored.select("score", F.col("exact").alias("gold_match"))
+    return CAL.threshold_sweep(labeled)
+
+
+# Incremental fold uses signature blocks only: dictionary support counts
+# are corpus-global, so batch-split dictionaries would legitimately
+# differ from the full-corpus one; signature blocks are pure per-record
+# functions, which is what makes incremental == full-batch provable.
+_INC_CFG_KW = dict(use_dict=False, use_fuzzy_dict=False)
+
+
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linking, oracle-checked: fold the odd conversations
+    into clusters built from the even ones (operators/incremental.py).
+    The DuckDB oracle replays the same split → old-clustering → fold
+    computation stage by stage; incremental == full-batch equivalence is
+    proven separately in pytest (cap-boundary caveat documented in
+    oracle.chain.incremental_oracle_sql)."""
+    cfg = LinkingConfig(hash_mode=CFG.hash_mode, **_INC_CFG_KW)
+    t = _transcripts(spark, sf_dir)
+    parity = F.pmod(F.substring("conv_id", 6, 10).cast("int"), F.lit(2))
+    old_t = t.filter(parity == 0)
+    new_t = t.filter(parity == 1)
+    old_records = B.prepare_records(old_t)
+    old_edges = S.match_edges(
+        S.pair_features(
+            P.block_pairs(build_blocks(old_records, cfg), cfg.block_cap), old_records
+        )
     )
+    old_clusters = C.clusters_with_singletons(
+        old_records, old_edges, max_iter=cfg.cc_max_iter
+    )
+    return INC.incremental_link(old_records, old_clusters, new_t, cfg)
 
 
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +433,29 @@ def q_pagerank_priors(spark, sf_dir):
     return GW.pagerank_with_priors(nodes, _edges(spark, sf_dir))
 
 
+def q_tpch_q1(spark, sf_dir):
+    return REL.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    return REL.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    return REL.q5_local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(load_table(spark, sf_dir, "events"))
 
@@ -424,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scored_pairs_full": q_scored_pairs_full,
         "match_edges": q_match_edges,
         "entity_clusters": q_entity_clusters,
+        "calibration_sweep": q_calibration_sweep,
+        "incremental_clusters": q_incremental_clusters,
         "cluster_members": q_cluster_members,
         "cluster_sizes": q_cluster_sizes,
         # training-data pipeline family
@@ -455,6 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_json_props": q_events_json_props,
         "events_user_topk": q_events_user_topk,
+        # general relational analytics (TPC-H-style join/agg breadth)
+        "tpch_q1_pricing": q_tpch_q1,
+        "tpch_q3_shipping": q_tpch_q3,
+        "tpch_q5_local_volume": q_tpch_q5,
     }
 
 
@@ -510,6 +595,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "match_edges": ORACLE.stage_sql("SELECT * FROM edges", CFG),
         "entity_clusters": ORACLE.clusters_oracle_sql(CFG),
+        "calibration_sweep": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+            f"scoredcal AS (SELECT {S.LOGISTIC_SCORE_SQL} AS score, "
+            f"exact AS gold_match FROM features) "
+            + CAL.threshold_sweep_sql("SELECT * FROM scoredcal")
+        ),
+        # DuckDB replay of the incremental computation (split → old
+        # clustering → fold); batch-equivalence itself is the pytest
+        # property (see oracle.chain.incremental_oracle_sql docstring)
+        "incremental_clusters": ORACLE.incremental_oracle_sql(
+            LinkingConfig(**_INC_CFG_KW)
+        ),
         "cluster_members": (
             "SELECT cluster_id, "
             "array_to_string(list_sort(list(DISTINCT rec_key)), ',') AS members, "
@@ -612,4 +709,16 @@ def _training_data_oracles() -> dict[str, str]:
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
         "events_json_props": EV.json_props_sql("SELECT * FROM events"),
         "events_user_topk": EV.user_topk_events_sql("SELECT * FROM events"),
+        "tpch_q1_pricing": REL.q1_pricing_summary_sql("SELECT * FROM lineitem"),
+        "tpch_q3_shipping": REL.q3_shipping_priority_sql(
+            "SELECT * FROM customer", "SELECT * FROM orders", "SELECT * FROM lineitem"
+        ),
+        "tpch_q5_local_volume": REL.q5_local_supplier_volume_sql(
+            "SELECT * FROM region",
+            "SELECT * FROM nation",
+            "SELECT * FROM customer",
+            "SELECT * FROM supplier",
+            "SELECT * FROM orders",
+            "SELECT * FROM lineitem",
+        ),
     }

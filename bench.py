@@ -41,6 +41,36 @@ HEADLINE = [
 ]
 
 
+def flagship_at(cpus: int) -> dict:
+    """Run the flagship blocking→scoring→clustering chain end-to-end in a
+    fresh session at `cpus` cores (fresh applicationId → no memo reuse).
+    Returns {"cpus", "wall_s", "turns", "turns_per_sec"}. A warm-up job
+    runs first so JVM/session fixed costs don't masquerade as scaling
+    loss (BASELINE.md's two-cluster-size rule compares steady-state
+    throughput, not cold starts)."""
+    import __spark_entry__ as entry_mod
+    from entity_linking_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"els-flagship-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    spark.range(1_000_000).count()  # warm-up
+    t0 = time.time()
+    n_clusters = entry_mod.queries()["entity_clusters"](spark, SF_DIR).count()
+    wall = time.time() - t0
+    turns = entry_mod._records(spark, SF_DIR).count()  # cached by the chain
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "wall_s": round(wall, 2),
+        "turns": turns,
+        "clusters": n_clusters,
+        "turns_per_sec": round(turns / wall, 1),
+    }
+
+
 def main() -> None:
     from entity_linking_spark.session import get_spark
 
@@ -75,8 +105,28 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec_flagship": round(n_turns / flag, 1),
     }
-    print(json.dumps(out))
     spark.stop()
+
+    # Optional in-bench two-level flagship run (ELS_SCALING=1). OFF by
+    # default: at sf0.1 (25k turns) the end-to-end job is dominated by
+    # per-task fixed overheads, so more cores measure scheduler overhead,
+    # not scaling (measured: 8 cores *beats* 32 at this size). The
+    # authoritative two-parallelism-level evidence runs the same pipeline
+    # on the 800k-turn corpus via tools/bench_scaling.py (and the
+    # scoring-stage isolation via tools/bench_scoring.py); results are
+    # recorded in BENCH.md per the north rule.
+    if os.environ.get("ELS_SCALING", "0") == "1":
+        hi = flagship_at(int(CPUS))
+        lo = flagship_at(max(2, int(CPUS) // 4))
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (
+            hi["cpus"] / lo["cpus"]
+        )
+        out["scaling"] = {
+            "low": lo,
+            "high": hi,
+            "efficiency": round(eff, 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

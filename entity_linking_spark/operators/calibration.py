@@ -91,3 +91,41 @@ def best_threshold(sweep: DataFrame) -> dict:
     """Argmax-F1 row as a dict (driver-side; grid-sized data)."""
     row = sweep.orderBy(F.desc("f1"), F.asc("threshold")).first()
     return {k: row[k] for k in ("threshold", "precision", "recall", "f1")}
+
+
+def threshold_sweep_sql(scored_rel: str, grid: int = DEFAULT_GRID) -> str:
+    """DuckDB twin of `threshold_sweep`. `scored_rel` must yield
+    (score double, gold_match int). Same bucket arithmetic on the same
+    doubles -> identical cells in both engines."""
+    return f"""
+    SELECT round(CAST(bucket AS DOUBLE) / {grid}, 6) AS threshold,
+           tp, fp, (pos - tp) AS fn,
+           round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / greatest(tp + (pos - tp), 1), 6) AS recall,
+           round(CASE WHEN (CAST(tp AS DOUBLE) / greatest(tp + fp, 1))
+                         + (CAST(tp AS DOUBLE) / greatest(tp + (pos - tp), 1)) > 0
+                 THEN 2 * (CAST(tp AS DOUBLE) / greatest(tp + fp, 1))
+                        * (CAST(tp AS DOUBLE) / greatest(tp + (pos - tp), 1))
+                      / ((CAST(tp AS DOUBLE) / greatest(tp + fp, 1))
+                         + (CAST(tp AS DOUBLE) / greatest(tp + (pos - tp), 1)))
+                 ELSE 0.0 END, 6) AS f1
+    FROM (
+      SELECT s.bucket,
+             CAST(sum(s.bpos) OVER w AS BIGINT) AS tp,
+             CAST(sum(s.btot) OVER w - sum(s.bpos) OVER w AS BIGINT) AS fp
+      FROM (
+        SELECT g.bucket,
+               coalesce(c.bpos, 0) AS bpos, coalesce(c.btot, 0) AS btot
+        FROM (SELECT unnest(range(0, {grid} + 1)) AS bucket) g
+        LEFT JOIN (
+          SELECT least({grid}, greatest(0, CAST(ceil(score * {grid}) AS INT))) AS bucket,
+                 CAST(sum(gold_match) AS BIGINT) AS bpos, count(*) AS btot
+          FROM ({scored_rel})
+          GROUP BY 1
+        ) c USING (bucket)
+      ) s
+      WINDOW w AS (ORDER BY s.bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    CROSS JOIN (SELECT CAST(coalesce(sum(gold_match), 0) AS BIGINT) AS pos FROM ({scored_rel}))
+    WHERE bucket >= 1
+    """

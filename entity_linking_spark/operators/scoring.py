@@ -153,6 +153,14 @@ def jaro_winkler_sql(a_expr: str, b_expr: str) -> str:
     )
 
 
+LOGISTIC_SCORE_SQL = (
+    f"1.0 / (1.0 + exp(-({LOGIT_BIAS} "
+    f"+ {LOGIT_W_JACC} * (inter / CAST(greatest(uni, 1) AS DOUBLE)) "
+    f"+ {LOGIT_W_LEV} * (1.0 - lev / CAST(greatest(maxlen, 1) AS DOUBLE)) "
+    f"+ {LOGIT_W_EXACT} * exact)))"
+)
+
+
 def logistic_score_col(jacc, lev_sim, exact):
     """sigmoid(b + w·x) as a Spark column; weights module-level constants."""
     z = (

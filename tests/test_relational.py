@@ -1,0 +1,50 @@
+"""TPC-H-style relational analytics: Spark/DuckDB value parity at
+sf0.001 plus the exact-integer money invariant (no float sums anywhere —
+the oracle hash compares exact BIGINTs)."""
+
+from __future__ import annotations
+
+from conftest import assert_spark_matches_duck
+
+from entity_linking_spark.operators import relational as REL
+from entity_linking_spark.sources.tables import load_table
+
+
+def test_q1_pricing_summary_parity(spark, duck, sf_dir):
+    df = REL.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    assert_spark_matches_duck(df, duck, REL.q1_pricing_summary_sql("SELECT * FROM lineitem"))
+    # integer-exact: every aggregate is a long, no doubles survive
+    assert all(
+        f.dataType.simpleString() in ("bigint", "string")
+        for f in df.schema.fields
+    ), df.schema
+
+
+def test_q3_shipping_priority_parity(spark, duck, sf_dir):
+    df = REL.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    assert_spark_matches_duck(
+        df, duck, REL.q3_shipping_priority_sql("SELECT * FROM customer", "SELECT * FROM orders", "SELECT * FROM lineitem")
+    )
+
+
+def test_q5_local_supplier_volume_parity(spark, duck, sf_dir):
+    df = REL.q5_local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    assert_spark_matches_duck(
+        df,
+        duck,
+        REL.q5_local_supplier_volume_sql(
+            *[f"SELECT * FROM {t}" for t in
+              ("region", "nation", "customer", "supplier", "orders", "lineitem")]
+        ),
+    )

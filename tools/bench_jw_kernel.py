@@ -47,7 +47,16 @@ def _load_pairs() -> list[tuple[str, str]]:
     return rows
 
 
+KERNEL = os.environ.get("ELS_KERNEL", "batch")  # batch (production) | scalar
+
+
 def _score_chunk(chunk: list[tuple[str, str]]) -> float:
+    if KERNEL == "batch":
+        from entity_linking_spark.functions.jaro import jaro_winkler_batch
+
+        return float(
+            jaro_winkler_batch([a for a, _ in chunk], [b for _, b in chunk]).sum()
+        )
     from entity_linking_spark.operators.scoring import jaro_winkler_py
 
     return sum(jaro_winkler_py(a or "", b or "") for a, b in chunk)

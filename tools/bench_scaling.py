@@ -92,10 +92,17 @@ def main() -> int:
     # before every Python-heavy stage).
     scored = timed(
         "score_pairs_jw",
+        # project to the narrow output BEFORE materializing: the scored
+        # set must not carry both norm texts through the checkpoint —
+        # at 100 TB that is the difference between writing ~30 bytes/pair
+        # and ~300 (the same early-projection rule Catalyst applies to
+        # scans, applied at a materialization boundary it can't see past)
         lambda: S.scored_pairs(
             S.pair_features(prs, records).repartition(4 * cpus),
             with_jw=True,
-        ).localCheckpoint(),
+        )
+        .select("a_key", "b_key", "score", "jw", "is_match")
+        .localCheckpoint(),
     )
     edges = scored.filter("is_match").select("a_key", "b_key")
     timed(

@@ -33,6 +33,13 @@ AUDIT = [
     "ann_bruteforce",
     "token_tfidf",
     "text_stats",
+    "dict_blocks",
+    "fuzzy_dict_blocks",
+    "scored_pairs_full",
+    "pair_jaro_winkler",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
 ]
 
 
