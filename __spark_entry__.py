@@ -22,6 +22,7 @@ from entity_linking_spark.functions.normalize import (
     normalize_text_col,
     normalize_text_sql,
 )
+from entity_linking_spark.operators import beliefprop as BP
 from entity_linking_spark.operators import blocking as B
 from entity_linking_spark.operators import calibration as CAL
 from entity_linking_spark.operators import clustering as C
@@ -153,6 +154,79 @@ def q_first_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.token_blocks(_records(spark, sf_dir))
+
+
+def q_role_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 parity: the reference drops non-article pages in every mapper
+    (`EntityMentionIndexBuilder.java:121-123`); the transcripts analog
+    keeps only linkable conversational turns (user/assistant, non-blank)."""
+    t = _transcripts(spark, sf_dir)
+    return t.filter(
+        F.col("role").isin("user", "assistant") & (F.trim(F.col("text")) != "")
+    ).select("conv_id", "turn_idx", "role", "text")
+
+
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 parity: the reference's positional index is a 1-reducer global
+    sort (`EntityTFIDFIndexBuilder.java:152-155`) — a scale bottleneck it
+    accepted. Here the global position is computed WITHOUT a global
+    window: per-conversation counts → cumulative offsets over the (small)
+    conversation spine → partition-local rank + offset. The only full
+    window runs over one row per conversation, so the plan scales while
+    producing the exact global-sort positions."""
+    records = _records(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    spine = (
+        records.groupBy("conv_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("conv_id").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("n")
+    )
+    wconv = W.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        records.join(spine, "conv_id")
+        .select(
+            "rec_key",
+            (F.col("offset") + F.row_number().over(wconv)).alias("pos"),
+        )
+    )
+
+
+def q_record_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T9 parity: two aggregations joined on the record key — block
+    membership count and match-graph degree — with popularity =
+    1 + degree (`EntityLinksIndexBuilder.java:112-188`,
+    `index/EntityLinksIndex.java:58-61`)."""
+    capped = P.cap_blocks(_blocks(spark, sf_dir), CFG.block_cap)
+    nb = capped.groupBy("rec_key").agg(F.countDistinct("block_key").alias("n_blocks"))
+    edges = _edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a_key").alias("rec_key"))
+        .unionByName(edges.select(F.col("b_key").alias("rec_key")))
+        .groupBy("rec_key")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        _records(spark, sf_dir)
+        .select("rec_key")
+        .join(nb, "rec_key", "left")
+        .join(deg, "rec_key", "left")
+        .select(
+            "rec_key",
+            F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            (F.lit(1) + F.coalesce("degree", F.lit(0))).alias("popularity"),
+        )
+    )
 
 
 def q_alias_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +385,26 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized token_tfidf over documents — shared by the tfidf-family
+    queries instead of each rebuilding the tf/df aggregation."""
+    return _memo(
+        spark, sf_dir, "doc_tfidf",
+        lambda: TFI.token_tfidf(_doc_records(spark, sf_dir)),
+    )
+
+
+def _turn_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized token_tfidf over turn records (docs = turns) — shared by
+    pagerank_priors and the BP factor-graph builder."""
+    return _memo(
+        spark, sf_dir, "turn_tfidf",
+        lambda: TFI.token_tfidf(
+            _records(spark, sf_dir).select(F.col("rec_key").alias("doc_id"), "tokens")
+        ),
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return TA.doc_text_stats(_docs(spark, sf_dir))
 
@@ -362,7 +456,7 @@ def q_term_df(spark, sf_dir):
 
 
 def q_token_tfidf(spark, sf_dir):
-    return TFI.token_tfidf(_doc_records(spark, sf_dir))
+    return _doc_tfidf(spark, sf_dir)
 
 
 def q_token_tfidf_ref(spark, sf_dir):
@@ -372,7 +466,9 @@ def q_token_tfidf_ref(spark, sf_dir):
 
 
 def q_keyphrase_topk(spark, sf_dir):
-    return TFI.keyphrase_topk(_doc_records(spark, sf_dir))
+    return TFI.keyphrase_topk(
+        _doc_records(spark, sf_dir), tfidf=_doc_tfidf(spark, sf_dir)
+    )
 
 
 def q_token_keyphraseness(spark, sf_dir):
@@ -395,7 +491,7 @@ def q_milne_witten(spark, sf_dir):
 def q_pair_tfidf_cosine(spark, sf_dir):
     recs = _doc_records(spark, sf_dir)
     prs = D.minhash_neardup_pairs(recs, hash_mode=CFG.hash_mode).select("a_id", "b_id")
-    return TFI.pair_tfidf_cosine(prs, recs)
+    return TFI.pair_tfidf_cosine(prs, recs, tfidf_in=_doc_tfidf(spark, sf_dir))
 
 
 def q_link_normalize(spark, sf_dir):
@@ -418,9 +514,8 @@ def q_pagerank_priors(spark, sf_dir):
     (per-turn TF-IDF mass), matching the reference's priors = mention
     importance (`RandomGraphWalk.java:166-188`)."""
     records = _records(spark, sf_dir)
-    turns = records.select(F.col("rec_key").alias("doc_id"), "tokens")
     pri = (
-        TFI.token_tfidf(turns)
+        _turn_tfidf(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.round(F.sum("tfidf"), 6).alias("prior"))
         .select(F.col("doc_id").alias("rec_key"), "prior")
@@ -453,6 +548,59 @@ def q_tpch_q5(spark, sf_dir):
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_BP_ITERS = 2  # fixed synchronous rounds; oracle unrolls the same two
+
+
+def _bp_inputs(spark, sf_dir):
+    """Corpus-derived factor graph: mentions = turns, candidates = the
+    turn's first two distinct tokens with local ψ = TF-IDF importance
+    (T12), pairwise ψ = Milne-Witten relatedness (T8), edges =
+    consecutive turns of a conversation — the referent-graph shape of
+    `RandomGraphWalk.java:190-279` built relationally."""
+    from pyspark.sql import Window as W
+
+    records = _records(spark, sf_dir)
+    turns = records.select(F.col("rec_key").alias("doc_id"), "tokens")
+    tfidf = _turn_tfidf(spark, sf_dir)
+    wimp = W.partitionBy("doc_id").orderBy(F.desc("importance"), F.asc("term"))
+    cands = (
+        tfidf.withColumn("_r", F.row_number().over(wimp))
+        .filter(F.col("_r") <= 2)  # top-2 terms by importance = candidates
+        .select(
+            F.col("doc_id").alias("mention"),
+            F.col("term").alias("cand"),
+            F.col("importance").alias("local"),
+        )
+    )
+    pots = TFI.milne_witten_relatedness(turns).select(
+        F.col("term_a").alias("c_a"),
+        F.col("term_b").alias("c_b"),
+        F.col("relatedness").alias("psi"),
+    )
+    r2 = records.select("conv_id", "turn_idx", F.col("rec_key").alias("m_b"))
+    edges = records.select(
+        "conv_id", (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("rec_key").alias("m_a"),
+    ).join(r2, ["conv_id", "turn_idx"]).select("m_a", "m_b")
+    return cands, pots, edges
+
+
+def q_loopy_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2/G3: max-product loopy BP beliefs over the corpus-derived
+    referent graph, two synchronous rounds (oracle unrolls the same)."""
+    cands, pots, edges = _bp_inputs(spark, sf_dir)
+    out = BP.loopy_bp(cands, pots, edges, max_iter=_BP_ITERS, eps=None)
+    return out.select("mention", "cand", F.round("belief", 6).alias("belief"))
+
+
+def q_loopy_bp_solution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 argmax solution over the BP beliefs, deterministic tie-break."""
+    cands, pots, edges = _bp_inputs(spark, sf_dir)
+    return BP.bp_solution(
+        BP.loopy_bp(cands, pots, edges, max_iter=_BP_ITERS, eps=None)
     )
 
 
@@ -490,6 +638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_derive": q_transcripts,
         "normalize": q_normalize,
         "records_prepare": q_records,
+        "role_filter": q_role_filter,
+        "positional_index": q_positional_index,
+        "record_degree": q_record_degree,
         "blocks_first_token": q_first_token_blocks,
         "blocks_token": q_token_blocks,
         "alias_dictionary": q_alias_dictionary,
@@ -532,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_normalize": q_link_normalize,
         "pagerank": q_pagerank,
         "pagerank_priors": q_pagerank_priors,
+        "loopy_bp": q_loopy_bp,
+        "loopy_bp_solution": q_loopy_bp_solution,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_json_props": q_events_json_props,
@@ -557,6 +710,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT rec_key, conv_id, turn_idx, norm_text, "
             f"array_to_string(tokens, ' ') AS tokens_joined, "
             f"len(tokens) AS n_tokens FROM ({recs})"
+        ),
+        "role_filter": (
+            f"SELECT conv_id, turn_idx, role, text FROM ({tsql}) "
+            "WHERE role IN ('user', 'assistant') AND trim(text) <> ''"
+        ),
+        "positional_index": (
+            f"SELECT rec_key, row_number() OVER (ORDER BY rec_key) AS pos "
+            f"FROM ({recs})"
+        ),
+        "record_degree": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+            f"capped AS ({P.cap_blocks_sql('SELECT * FROM blocks', CFG.block_cap)}) "
+            "SELECT r.rec_key, "
+            "  coalesce(nb.n_blocks, 0) AS n_blocks, "
+            "  coalesce(d.degree, 0) AS degree, "
+            "  1 + coalesce(d.degree, 0) AS popularity "
+            "FROM (SELECT rec_key FROM records) r "
+            "LEFT JOIN (SELECT rec_key, count(DISTINCT block_key) AS n_blocks "
+            "           FROM capped GROUP BY rec_key) nb USING (rec_key) "
+            "LEFT JOIN (SELECT rec_key, count(*) AS degree FROM ("
+            "             SELECT a_key AS rec_key FROM edges "
+            "             UNION ALL SELECT b_key FROM edges"
+            "           ) GROUP BY rec_key) d USING (rec_key)"
         ),
         "blocks_first_token": B.first_token_blocks_sql(recs),
         "blocks_token": B.token_blocks_sql(recs),
@@ -647,6 +823,61 @@ def _pagerank_priors_oracle() -> str:
     )
 
 
+def _bp_prelude() -> str:
+    """Shared CTE prelude for the BP oracles: records → turn tf-idf →
+    top-2-importance candidates, MW potentials, consecutive-turn edges."""
+    from entity_linking_spark.operators import tfidf as _T
+
+    turn_tfidf = _T.token_tfidf_sql("SELECT rec_key AS doc_id, tokens FROM records_m")
+    mw = _T.milne_witten_relatedness_sql(
+        "SELECT rec_key AS doc_id, tokens FROM records_m"
+    )
+    return (
+        f"{ORACLE.pipeline_ctes(CFG)}, "
+        f"records_m AS MATERIALIZED (SELECT * FROM records), "
+        f"turn_tfidf AS MATERIALIZED ({turn_tfidf}), "
+        f"bp_cands_in AS ("
+        f"  SELECT doc_id AS mention, term AS cand, importance AS local FROM ("
+        f"    SELECT doc_id, term, importance,"
+        f"           row_number() OVER (PARTITION BY doc_id"
+        f"             ORDER BY importance DESC, term ASC) AS _r"
+        f"    FROM turn_tfidf"
+        f"  ) WHERE _r <= 2"
+        f"), "
+        f"bp_pots AS (SELECT term_a AS c_a, term_b AS c_b, relatedness AS psi "
+        f"            FROM ({mw})), "
+        f"bp_edges_in AS ("
+        f"  SELECT a.rec_key AS m_a, b.rec_key AS m_b"
+        f"  FROM records_m a JOIN records_m b"
+        f"    ON a.conv_id = b.conv_id AND a.turn_idx + 1 = b.turn_idx"
+        f")"
+    )
+
+
+def _loopy_bp_oracle(solution: bool) -> str:
+    body, final = BP.loopy_bp_ctes(
+        "SELECT * FROM bp_cands_in",
+        "SELECT * FROM bp_pots",
+        "SELECT * FROM bp_edges_in",
+        iters=_BP_ITERS,
+    )
+    if solution:
+        final = f"""
+        SELECT mention, cand, round(belief, 6) AS belief FROM (
+          SELECT c.mention, c.cand,
+                 c.local + coalesce(i.inbox, 0.0) AS belief,
+                 row_number() OVER (PARTITION BY c.mention
+                   ORDER BY c.local + coalesce(i.inbox, 0.0) DESC, c.cand ASC) AS _r
+          FROM bp_cands c
+          LEFT JOIN (
+            SELECT dst AS mention, cand, sum(msg) AS inbox
+            FROM bp_m{_BP_ITERS} GROUP BY dst, cand
+          ) i ON i.mention = c.mention AND i.cand = c.cand
+        ) WHERE _r = 1
+        """
+    return f"WITH {_bp_prelude()}, {body} {final}"
+
+
 def _pagerank_oracle() -> str:
     # edges_m: materialize the linking chain once — pagerank's CTEs
     # reference it repeatedly and DuckDB inlines plain CTEs per reference
@@ -705,6 +936,8 @@ def _training_data_oracles() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle(),
         "pagerank_priors": _pagerank_priors_oracle(),
+        "loopy_bp": _loopy_bp_oracle(solution=False),
+        "loopy_bp_solution": _loopy_bp_oracle(solution=True),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
         "events_json_props": EV.json_props_sql("SELECT * FROM events"),

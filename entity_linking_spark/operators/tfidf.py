@@ -190,11 +190,13 @@ def token_tfidf_ref_sql(records_rel: str) -> str:
     """
 
 
-def keyphrase_topk(records: DataFrame) -> DataFrame:
+def keyphrase_topk(records: DataFrame, tfidf: DataFrame | None = None) -> DataFrame:
     """(doc_id, term, tfidf, rank): top-k terms per doc by tfidf,
     k = max(1, ceil(6% · n_distinct_terms)). Deterministic tie-break:
-    (rounded tfidf desc, term asc) — the W6 comparator pattern."""
-    tfidf = token_tfidf(records)
+    (rounded tfidf desc, term asc) — the W6 comparator pattern.
+    Pass a precomputed `token_tfidf(records)` to share the scan."""
+    if tfidf is None:
+        tfidf = token_tfidf(records)
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     wn = Window.partitionBy("doc_id")
     return (
@@ -397,11 +399,16 @@ def milne_witten_relatedness_sql(
     """
 
 
-def pair_tfidf_cosine(pairs: DataFrame, records: DataFrame) -> DataFrame:
+def pair_tfidf_cosine(
+    pairs: DataFrame, records: DataFrame, tfidf_in: DataFrame | None = None
+) -> DataFrame:
     """T6: sparse TF-IDF cosine for candidate pairs. Join exploded tfidf
     vectors on term; cosine = Σ wa·wb / (‖a‖·‖b‖), round(·,6).
-    records needs (doc_id/rec-style key in `doc_id`, tokens)."""
-    tfidf = token_tfidf(records).select("doc_id", "term", F.col("tfidf").alias("w"))
+    records needs (doc_id/rec-style key in `doc_id`, tokens); pass a
+    precomputed `token_tfidf(records)` as `tfidf_in` to share the scan."""
+    if tfidf_in is None:
+        tfidf_in = token_tfidf(records)
+    tfidf = tfidf_in.select("doc_id", "term", F.col("tfidf").alias("w"))
     norms = tfidf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )

@@ -134,3 +134,32 @@ def test_threshold_sweep_on_pipeline_scores(spark):
     ).join(scored.select("a_key", "b_key", "score"), ["a_key", "b_key"])
     best = best_threshold(threshold_sweep(labeled))
     assert best["f1"] >= 0.97, best
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef 01é", max_size=90),
+            st.text(alphabet="abcdef 01é", max_size=90),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_jaro_batch_kernel_equals_scalar(pairs):
+    """Property: the numpy bit-parallel batch kernel is bit-identical to
+    the scalar reference on arbitrary inputs, including the non-ascii
+    fallback path (é forces UTF-8 byte semantics)."""
+    import numpy as np
+
+    from entity_linking_spark.functions.jaro import (
+        jaro_winkler_batch,
+        jaro_winkler_py,
+    )
+
+    got = jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+    want = np.array([jaro_winkler_py(a, b) for a, b in pairs])
+    assert got.shape == want.shape
+    if len(pairs):
+        assert np.max(np.abs(got - want)) == 0.0
