@@ -242,6 +242,21 @@ def q_dict_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DICT.dict_blocks(recs, DICT.alias_dictionary(recs))
 
 
+SALT_N, SALT_HOT = 8, 64
+
+
+def q_salted_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew defense exposure: token blocks hotter than the cap are
+    sharded to `key#salt` instead of dropped — partial coverage on
+    pathological keys (north_rule's salted-keys requirement)."""
+    return B.salt_blocks(
+        B.token_blocks(_records(spark, sf_dir)),
+        n_salt=SALT_N,
+        hot_threshold=SALT_HOT,
+        hash_mode=CFG.hash_mode,
+    )
+
+
 def q_fuzzy_dict_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-neighborhood (SymSpell-style) typo-tolerant dictionary
     blocks: leading tokens within ~1 edit share a block."""
@@ -447,6 +462,12 @@ def q_ann_lsh(spark, sf_dir):
     return SS.ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (Jégou 2011 pattern): cell assignment →
+    nprobe cells per query → exact re-rank of candidates only."""
+    return SS.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 def q_embedding_neardup(spark, sf_dir):
     return SS.embedding_neardup_pairs(_emb(spark, sf_dir))
 
@@ -646,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_dictionary": q_alias_dictionary,
         "dict_blocks": q_dict_blocks,
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "salted_blocks": q_salted_blocks,
         "minhash_signatures": q_minhash_signatures,
         "lsh_blocks": q_lsh_blocks,
         "candidate_pairs": q_candidate_pairs,
@@ -669,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_signatures": q_embed_signatures,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "term_df": q_term_df,
         "token_tfidf": q_token_tfidf,
@@ -748,6 +771,12 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_dict_blocks": (
             f"WITH recs AS ({recs}) "
             + DICT.fuzzy_dict_blocks_sql("SELECT * FROM recs")
+        ),
+        "salted_blocks": (
+            f"WITH recs AS ({recs}) "
+            + B.salt_blocks_sql(
+                B.token_blocks_sql("SELECT * FROM recs"), SALT_N, SALT_HOT
+            )
         ),
         "minhash_signatures": sig_sql,
         "lsh_blocks": B.lsh_blocks_sql(sig_sql, CFG.n_perm, CFG.band_rows),
@@ -915,6 +944,7 @@ def _training_data_oracles() -> dict[str, str]:
         "embed_signatures": SS.hyperplane_signatures_sql(_EMB_REL),
         "ann_bruteforce": SS.ann_bruteforce_topk_sql(_EMB_REL),
         "ann_lsh": SS.ann_lsh_topk_sql(_EMB_REL),
+        "ann_ivf": SS.ann_ivf_topk_sql(_EMB_REL),
         "embedding_neardup": SS.embedding_neardup_pairs_sql(_EMB_REL),
         "term_df": f"{with_recs} {TFI.term_df_sql(recs)}",
         "token_tfidf": f"{with_recs} {TFI.token_tfidf_sql(recs)}",

@@ -197,14 +197,21 @@ def lsh_blocks_sql(
     """
 
 
-def salt_blocks(blocked: DataFrame, n_salt: int = 8, hot_threshold: int = 1024) -> DataFrame:
+def salt_blocks(
+    blocked: DataFrame,
+    n_salt: int = 8,
+    hot_threshold: int = 1024,
+    hash_mode: str = "fast",
+) -> DataFrame:
     """Skew defense for keys that must NOT be dropped by the block cap:
     rows of a hot block_key (> hot_threshold members) are re-keyed to
     `key#s` with s = pmod(hash(rec_key), n_salt). Pairs are then generated
     within each salt shard — an intentional recall trade on pathological
     keys, the same trade the reference makes by skipping >2000-candidate
     mentions (`md/MentionDetection.java:178-181`) but keeping partial
-    coverage instead of none."""
+    coverage instead of none. hash_mode='portable' uses the md5-derived
+    hash the DuckDB oracle replays bit-for-bit; 'fast' uses xxhash64."""
+    hash_col = H.portable_hash_col if hash_mode == "portable" else H.fast_hash_col
     counts = blocked.groupBy("block_key").agg(F.count("*").alias("bn"))
     return (
         blocked.join(counts, "block_key")
@@ -213,9 +220,26 @@ def salt_blocks(blocked: DataFrame, n_salt: int = 8, hot_threshold: int = 1024) 
             F.when(
                 F.col("bn") > hot_threshold,
                 F.concat_ws(
-                    "#", F.col("block_key"), F.pmod(F.xxhash64("rec_key"), F.lit(n_salt))
+                    "#", F.col("block_key"), F.pmod(hash_col(F.col("rec_key")), F.lit(n_salt))
                 ),
             ).otherwise(F.col("block_key")),
         )
         .drop("bn")
     )
+
+
+def salt_blocks_sql(
+    blocked_rel: str, n_salt: int = 8, hot_threshold: int = 1024
+) -> str:
+    """DuckDB twin of salt_blocks(hash_mode='portable')."""
+    salted = H.portable_hash_sql("rec_key")
+    return f"""
+    SELECT rec_key,
+           CASE WHEN bn > {hot_threshold}
+                THEN block_key || '#' || CAST({salted} % {n_salt} AS VARCHAR)
+                ELSE block_key END AS block_key
+    FROM (
+      SELECT rec_key, block_key, count(*) OVER (PARTITION BY block_key) AS bn
+      FROM ({blocked_rel})
+    )
+    """

@@ -407,3 +407,141 @@ def embedding_neardup_pairs_sql(
       JOIN ({corpus}) b ON c.b_key = b.rec_key
     ) WHERE cos >= {threshold!r}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed top-k (coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = DIM,
+) -> DataFrame:
+    """(q_id, vec_id, cos, rank): IVF-style ANN — the inverted-file
+    coarse-quantizer pattern (Jégou et al. 2011, public): assign every
+    corpus vector to its nearest of `n_cells` centroids (build phase, one
+    corpus scan against broadcast centroids), then search only the
+    `nprobe` closest cells per query and exact-re-rank the candidates.
+
+    Cost: O(N·C) build + O(|Q|·C + |Q|·N·nprobe/C) search versus the
+    brute-force O(|Q|·N) — the standard recall/throughput dial. The
+    quantizer here is deterministic (centroids = the first `n_cells`
+    corpus vectors) so the DuckDB oracle replays it exactly; a production
+    deployment plugs k-means centroids into the same assignment join."""
+    corpus = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        norm_col(F.col("embedding"), dim).alias("nrm"),
+    )
+    cents = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim_to_cell = F.round(
+        dot_col(F.col("emb"), F.col("c_emb"), dim) / (F.col("nrm") * F.col("c_nrm")),
+        6,
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", "nrm", "cell", sim_to_cell.alias("csim"))
+        .withColumn("_r", F.row_number().over(wassign))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "emb", "nrm", "cell")
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    q_sim = F.round(
+        dot_col(F.col("q_emb"), F.col("c_emb"), dim) / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_emb", "q_nrm", "cell", q_sim.alias("qsim"))
+        .withColumn("_r", F.row_number().over(wprobe))
+        .filter(F.col("_r") <= nprobe)
+        .select("q_id", "q_emb", "q_nrm", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot_col(F.col("emb"), F.col("q_emb"), dim)
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def ann_ivf_topk_sql(
+    embeddings_rel: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = DIM,
+) -> str:
+    corpus = (
+        f"SELECT vec_id, embedding AS emb, {norm_sql('embedding', dim)} AS nrm "
+        f"FROM ({embeddings_rel})"
+    )
+    return f"""
+    WITH ivf_corpus AS MATERIALIZED ({corpus}),
+    ivf_cents AS (
+      SELECT vec_id AS cell, emb AS c_emb, nrm AS c_nrm
+      FROM ivf_corpus WHERE vec_id < {n_cells}
+    ),
+    ivf_assigned AS (
+      SELECT vec_id, emb, nrm, cell FROM (
+        SELECT c.vec_id, c.emb, c.nrm, ct.cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 round({dot_sql('c.emb', 'ct.c_emb', dim)} / (c.nrm * ct.c_nrm), 6) DESC,
+                 ct.cell ASC) AS _r
+        FROM ivf_corpus c CROSS JOIN ivf_cents ct
+      ) WHERE _r = 1
+    ),
+    ivf_probes AS (
+      SELECT q_id, q_emb, q_nrm, cell FROM (
+        SELECT q.vec_id AS q_id, q.emb AS q_emb, q.nrm AS q_nrm, ct.cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round({dot_sql('q.emb', 'ct.c_emb', dim)} / (q.nrm * ct.c_nrm), 6) DESC,
+                 ct.cell ASC) AS _r
+        FROM ivf_corpus q CROSS JOIN ivf_cents ct
+        WHERE q.vec_id < {n_queries}
+      ) WHERE _r <= {nprobe}
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM (
+        SELECT DISTINCT p.q_id, a.vec_id,
+               round({dot_sql('a.emb', 'p.q_emb', dim)} / (a.nrm * p.q_nrm), 6) AS cos
+        FROM ivf_assigned a JOIN ivf_probes p USING (cell)
+        WHERE a.vec_id <> p.q_id
+      )
+    ) WHERE rank <= {k}
+    """

@@ -21,6 +21,7 @@ from entity_linking_spark.operators import multimodal as MM
 from entity_linking_spark.operators import simsearch as SS
 from entity_linking_spark.operators import textanalysis as TA
 from entity_linking_spark.operators import tfidf as TFI
+from entity_linking_spark.sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +165,19 @@ def test_lsh_topk_is_subset_with_high_recall(vectors):
     # lsh results are genuine vectors, not fabricated ids
     assert all(q < 2 for q, _ in lsh)
     assert len(lsh & bf) >= 1
+
+
+def test_ivf_topk_recall_and_exactness(vectors, spark, sf_dir):
+    """IVF must (a) keep the near-identical vector in its cell's
+    candidates and (b) reach high recall vs brute force at nprobe=4 on
+    the driver's embeddings table (measured 0.925 at sf0.001)."""
+    ivf = {(r["q_id"], r["vec_id"]) for r in
+           SS.ann_ivf_topk(vectors, n_queries=2, k=3, n_cells=4, nprobe=2).collect()}
+    assert (0, 1) in ivf  # scaled copy shares the cell and survives
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {(r["q_id"], r["vec_id"]) for r in SS.ann_bruteforce_topk(emb).collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in SS.ann_ivf_topk(emb).collect()}
+    assert len(bf & got) / len(bf) >= 0.8
 
 
 def test_embedding_neardup_pairs(vectors):
