@@ -304,7 +304,9 @@ def q_scored_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scorer with T9 popularity, T11 prior p(e|m), T10 log-PMI λ
     over block co-membership, and the combined logistic score."""
     capped = P.cap_blocks(_blocks(spark, sf_dir), CFG.block_cap)
-    stats = S.pair_block_stats(_pairs(spark, sf_dir), capped)
+    # stats feeds both the corpus totals and the per-pair join —
+    # checkpoint so it is computed once, not once per consumer
+    stats = S.pair_block_stats(_pairs(spark, sf_dir), capped).localCheckpoint()
     return S.scored_pairs_full(_features(spark, sf_dir), stats, capped)
 
 

@@ -71,19 +71,32 @@ def connected_components(
     )
     if checkpoint:
         e = e.localCheckpoint()
+    n_prev = e.count()
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e))
         if checkpoint:
             e2 = e2.localCheckpoint()
-        # converged when the (big,small)-oriented edge sets are identical
-        o1 = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        changed = (
-            e2.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-            .exceptAll(o1)
-            .limit(1)
-            .count()
-        )
+        # two-tier convergence probe: a cheap count (scan of the fresh
+        # checkpoint) screens most supersteps — unequal counts mean the
+        # edge set certainly changed; only when counts match does the
+        # exact set comparison (exceptAll, a co-shuffle job) run. Sound:
+        # equal sets ⟹ equal counts.
+        n2 = e2.count()
+        changed = 1
+        if n2 == n_prev:
+            o1 = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            changed = (
+                e2.select(
+                    F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+                )
+                .exceptAll(o1)
+                .limit(1)
+                .count()
+            )
         e = e2
+        n_prev = n2
         if changed == 0:
             break
     # stable state: every edge is (member, root-min)
