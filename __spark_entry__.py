@@ -430,12 +430,23 @@ def q_quality_filter(spark, sf_dir):
     return TA.quality_filter(_docs(spark, sf_dir))
 
 
+def _doc_neardup_pairs(spark, sf_dir):
+    """Memoized MinHash near-dup pairs over documents — consumed by both
+    dedup_minhash and pair_tfidf_cosine."""
+    return _memo(
+        spark, sf_dir, "doc_neardup",
+        lambda: D.minhash_neardup_pairs(
+            _doc_records(spark, sf_dir), hash_mode=CFG.hash_mode
+        ),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_doc_records(spark, sf_dir))
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return D.minhash_neardup_pairs(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
+    return _doc_neardup_pairs(spark, sf_dir)
 
 
 def q_simhash_signatures(spark, sf_dir):
@@ -502,18 +513,26 @@ def q_source_candidate_cut(spark, sf_dir):
     return TFI.source_candidate_cut(_doc_records(spark, sf_dir))
 
 
+def _turn_mw(spark, sf_dir):
+    """Memoized turn-level Milne-Witten relatedness — consumed by the
+    milne_witten query and (twice) by the BP factor-graph builder."""
+    return _memo(
+        spark, sf_dir, "turn_mw",
+        lambda: TFI.milne_witten_relatedness(
+            _records(spark, sf_dir).select(F.col("rec_key").alias("doc_id"), "tokens")
+        ),
+    )
+
+
 def q_milne_witten(spark, sf_dir):
     # turn-granularity corpus: document-level df ratios are degenerate on
     # the tiny-vocabulary synthetic corpus (every term in ~every doc)
-    turns = _records(spark, sf_dir).select(
-        F.col("rec_key").alias("doc_id"), "tokens"
-    )
-    return TFI.milne_witten_relatedness(turns)
+    return _turn_mw(spark, sf_dir)
 
 
 def q_pair_tfidf_cosine(spark, sf_dir):
     recs = _doc_records(spark, sf_dir)
-    prs = D.minhash_neardup_pairs(recs, hash_mode=CFG.hash_mode).select("a_id", "b_id")
+    prs = _doc_neardup_pairs(spark, sf_dir).select("a_id", "b_id")
     return TFI.pair_tfidf_cosine(prs, recs, tfidf_in=_doc_tfidf(spark, sf_dir))
 
 
@@ -598,7 +617,7 @@ def _bp_inputs(spark, sf_dir):
             F.col("importance").alias("local"),
         )
     )
-    pots = TFI.milne_witten_relatedness(turns).select(
+    pots = _turn_mw(spark, sf_dir).select(
         F.col("term_a").alias("c_a"),
         F.col("term_b").alias("c_b"),
         F.col("relatedness").alias("psi"),
@@ -611,20 +630,25 @@ def _bp_inputs(spark, sf_dir):
     return cands, pots, edges
 
 
+def _bp_beliefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build():
+        cands, pots, edges = _bp_inputs(spark, sf_dir)
+        return BP.loopy_bp(cands, pots, edges, max_iter=_BP_ITERS, eps=None)
+
+    return _memo(spark, sf_dir, "bp_beliefs", build)
+
+
 def q_loopy_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1/G2/G3: max-product loopy BP beliefs over the corpus-derived
     referent graph, two synchronous rounds (oracle unrolls the same)."""
-    cands, pots, edges = _bp_inputs(spark, sf_dir)
-    out = BP.loopy_bp(cands, pots, edges, max_iter=_BP_ITERS, eps=None)
-    return out.select("mention", "cand", F.round("belief", 6).alias("belief"))
+    return _bp_beliefs(spark, sf_dir).select(
+        "mention", "cand", F.round("belief", 6).alias("belief")
+    )
 
 
 def q_loopy_bp_solution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 argmax solution over the BP beliefs, deterministic tie-break."""
-    cands, pots, edges = _bp_inputs(spark, sf_dir)
-    return BP.bp_solution(
-        BP.loopy_bp(cands, pots, edges, max_iter=_BP_ITERS, eps=None)
-    )
+    return BP.bp_solution(_bp_beliefs(spark, sf_dir))
 
 
 def q_events_sessionize(spark, sf_dir):

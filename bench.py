@@ -28,6 +28,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # 'portable' mode exists only so the DuckDB oracle can replay MinHash
 # bit-for-bit in the correctness gate (see __spark_entry__.CFG).
 os.environ.setdefault("ELS_HASH_MODE", "fast")
+# one session executes all ~58 queries and accumulates memoized caches +
+# iteration checkpoints; headroom keeps late queries off the
+# storage-eviction cliff (the box has 128 GiB)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 # headline subset: the stages users actually run, end-to-end heavy ones last
 HEADLINE = [
