@@ -667,6 +667,14 @@ def q_events_user_topk(spark, sf_dir):
     return EV.user_topk_events(load_table(spark, sf_dir, "events"))
 
 
+def q_events_rollup(spark, sf_dir):
+    return EV.type_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_events_value_stats(spark, sf_dir):
+    return EV.value_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_multimodal_decode(spark, sf_dir):
     return MM.decode_features(MM.attach_binary(_docs(spark, sf_dir)))
 
@@ -738,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_json_props": q_events_json_props,
         "events_user_topk": q_events_user_topk,
+        "events_rollup": q_events_rollup,
+        "events_value_stats": q_events_value_stats,
         # general relational analytics (TPC-H-style join/agg breadth)
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3,
@@ -998,6 +1008,8 @@ def _training_data_oracles() -> dict[str, str]:
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
         "events_json_props": EV.json_props_sql("SELECT * FROM events"),
         "events_user_topk": EV.user_topk_events_sql("SELECT * FROM events"),
+        "events_rollup": EV.type_rollup_sql("SELECT * FROM events"),
+        "events_value_stats": EV.value_stats_sql("SELECT * FROM events"),
         "tpch_q1_pricing": REL.q1_pricing_summary_sql("SELECT * FROM lineitem"),
         "tpch_q3_shipping": REL.q3_shipping_priority_sql(
             "SELECT * FROM customer", "SELECT * FROM orders", "SELECT * FROM lineitem"

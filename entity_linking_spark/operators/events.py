@@ -155,3 +155,52 @@ def user_topk_events_sql(events_rel: str = "events", k: int = 3) -> str:
       FROM ({events_rel})
     ) WHERE rank <= {k}
     """
+
+
+def type_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP aggregate over event_type — per-type rows plus the grand
+    total (event_type NULL). The reference has no grouping-sets surface
+    at all (SURVEY §2.4); this is engine-first analytics breadth. The
+    NULL-marker semantics of Spark rollup and DuckDB GROUP BY ROLLUP
+    coincide, so the oracle hash-matches directly."""
+    return events.rollup("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def type_rollup_sql(events_rel: str) -> str:
+    return f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM ({events_rel})
+    GROUP BY ROLLUP(event_type)
+    """
+
+
+def value_stats(events: DataFrame) -> DataFrame:
+    """Per-type order statistics: count, min, max, mean, exact median
+    (linear-interpolated percentile — Spark `percentile` and DuckDB
+    `quantile_cont` share the interpolation rule, verified by the
+    driver's value hash)."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_v"),
+    )
+
+
+def value_stats_sql(events_rel: str) -> str:
+    return f"""
+    SELECT event_type, count(*) AS n,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v,
+           round(avg(value), 6) AS avg_v,
+           round(quantile_cont(value, 0.5), 6) AS median_v
+    FROM ({events_rel})
+    GROUP BY event_type
+    """
