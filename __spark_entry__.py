@@ -651,6 +651,12 @@ def q_loopy_bp_solution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.bp_solution(_bp_beliefs(spark, sf_dir))
 
 
+def q_tpch_q14(spark, sf_dir):
+    return REL.q14_promo_revenue(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(load_table(spark, sf_dir, "events"))
 
@@ -752,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3,
         "tpch_q5_local_volume": q_tpch_q5,
+        "tpch_q14_promo": q_tpch_q14,
     }
 
 
@@ -1013,6 +1020,9 @@ def _training_data_oracles() -> dict[str, str]:
         "tpch_q1_pricing": REL.q1_pricing_summary_sql("SELECT * FROM lineitem"),
         "tpch_q3_shipping": REL.q3_shipping_priority_sql(
             "SELECT * FROM customer", "SELECT * FROM orders", "SELECT * FROM lineitem"
+        ),
+        "tpch_q14_promo": REL.q14_promo_revenue_sql(
+            "SELECT * FROM part", "SELECT * FROM lineitem"
         ),
         "tpch_q5_local_volume": REL.q5_local_supplier_volume_sql(
             "SELECT * FROM region",

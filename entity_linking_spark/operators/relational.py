@@ -204,3 +204,47 @@ def q5_local_supplier_volume_sql(
       AND o.o_orderdate <  TIMESTAMP '{Q5_YEAR_HI} 00:00:00'
     GROUP BY n_name
     """
+
+
+def q14_promo_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: revenue split by part type with the promo share
+    as two exact integer sums (promo_rev_c2, total_rev_c2) instead of a
+    float percentage — the ratio is derivable and the hash exact. part
+    is a dimension: broadcast-joined against the lineitem fact scan."""
+    li = lineitem.select(
+        "l_partkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))).alias(
+            "rev_c2"
+        ),
+    )
+    p = F.broadcast(part.select("p_partkey", "p_type"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_c2")).otherwise(0)
+            ).alias("promo_rev_c2"),
+            F.sum("rev_c2").alias("total_rev_c2"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q14_promo_revenue_sql(part_rel: str, lineitem_rel: str) -> str:
+    rev = (
+        _CENTS_SQL.format(x="l_extendedprice")
+        + " * (100 - "
+        + _CENTS_SQL.format(x="l_discount")
+        + ")"
+    )
+    return f"""
+    SELECT p_type,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0 END) AS BIGINT)
+             AS promo_rev_c2,
+           CAST(sum({rev}) AS BIGINT) AS total_rev_c2,
+           count(*) AS n_items
+    FROM ({lineitem_rel}) l
+    JOIN ({part_rel}) p ON l.l_partkey = p.p_partkey
+    GROUP BY p_type
+    """

@@ -48,3 +48,18 @@ def test_q5_local_supplier_volume_parity(spark, duck, sf_dir):
               ("region", "nation", "customer", "supplier", "orders", "lineitem")]
         ),
     )
+
+
+def test_q14_promo_revenue_parity(spark, duck, sf_dir):
+    df = REL.q14_promo_revenue(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+    assert_spark_matches_duck(
+        df,
+        duck,
+        REL.q14_promo_revenue_sql("SELECT * FROM part", "SELECT * FROM lineitem"),
+    )
+    rows = {r["p_type"]: r for r in df.collect()}
+    # promo share only accrues to the PROMO type rows
+    assert rows["PROMO"]["promo_rev_c2"] == rows["PROMO"]["total_rev_c2"]
+    assert all(r["promo_rev_c2"] == 0 for t, r in rows.items() if t != "PROMO")
