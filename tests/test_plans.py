@@ -74,3 +74,34 @@ def test_records_prepare_is_scan_plus_project_only(spark, sf_dir):
     )
     plan = _plan(records)
     assert "Exchange" not in plan
+
+
+def test_bucketed_cocolated_join_has_zero_exchange(spark, sf_dir, tmp_path_factory):
+    """Bucketed storage is the 100 TB shuffle eliminator: two tables
+    written bucketed by the same key with the same bucket count join with
+    ZERO Exchange — the shuffle was amortized into the writes. (With only
+    one side bucketed Spark still shuffles both — the co-location
+    contract needs both writers to agree, which is exactly what the
+    Iceberg `bucket(N, rec_key)` partition spec encodes.)"""
+    import re
+
+    from entity_linking_spark.sources.bucketed import bucketed_records, write_bucketed
+
+    records = B.prepare_records(
+        derive_transcripts(load_table(spark, sf_dir, "documents"))
+    )
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    t1 = bucketed_records(
+        spark, records, table="bk_recs", n_buckets=8, path=base + "/r"
+    )
+    t2 = write_bucketed(
+        records.select("rec_key", "conv_id"), "bk_keys", "rec_key", 8, base + "/k"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(t1.join(t2, "rec_key"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan[:2000]
