@@ -673,6 +673,10 @@ def q_events_user_topk(spark, sf_dir):
     return EV.user_topk_events(load_table(spark, sf_dir, "events"))
 
 
+def q_events_hopping(spark, sf_dir):
+    return EV.hopping_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_events_rollup(spark, sf_dir):
     return EV.type_rollup(load_table(spark, sf_dir, "events"))
 
@@ -752,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_json_props": q_events_json_props,
         "events_user_topk": q_events_user_topk,
+        "events_hopping": q_events_hopping,
         "events_rollup": q_events_rollup,
         "events_value_stats": q_events_value_stats,
         # general relational analytics (TPC-H-style join/agg breadth)
@@ -1015,6 +1020,7 @@ def _training_data_oracles() -> dict[str, str]:
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
         "events_json_props": EV.json_props_sql("SELECT * FROM events"),
         "events_user_topk": EV.user_topk_events_sql("SELECT * FROM events"),
+        "events_hopping": EV.hopping_counts_sql("SELECT * FROM events"),
         "events_rollup": EV.type_rollup_sql("SELECT * FROM events"),
         "events_value_stats": EV.value_stats_sql("SELECT * FROM events"),
         "tpch_q1_pricing": REL.q1_pricing_summary_sql("SELECT * FROM lineitem"),

@@ -204,3 +204,47 @@ def value_stats_sql(events_rel: str) -> str:
     FROM ({events_rel})
     GROUP BY event_type
     """
+
+
+HOP_MIN = 30  # hop; window width = 2 * hop
+
+
+def hopping_counts(events: DataFrame, hop_min: int = HOP_MIN) -> DataFrame:
+    """Sliding (hopping) windows: width 2·hop, slide hop — each event
+    belongs to exactly two windows, generated by exploding the two
+    containing starts instead of `F.window` so the identical expression
+    runs on the DuckDB oracle. Same UTC-session requirement as
+    sessionize (the us() cast pattern)."""
+    hop_us = hop_min * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    start1 = (us - (us % hop_us)).alias("s1")
+    starts = F.array(start1, start1 - F.lit(hop_us))
+    return (
+        events.select(
+            "event_type",
+            "value",
+            F.explode(starts).alias("w_us"),
+        )
+        .groupBy(
+            F.timestamp_micros(F.col("w_us")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def hopping_counts_sql(events_rel: str = "events", hop_min: int = HOP_MIN) -> str:
+    hop_us = hop_min * 60 * 1_000_000
+    return f"""
+    SELECT make_timestamp(w_us) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM (
+      SELECT event_type, value,
+             unnest([epoch_us(ts) - (epoch_us(ts) % {hop_us}),
+                     epoch_us(ts) - (epoch_us(ts) % {hop_us}) - {hop_us}]) AS w_us
+      FROM ({events_rel})
+    )
+    GROUP BY w_us, event_type
+    """

@@ -105,3 +105,22 @@ def test_bucketed_cocolated_join_has_zero_exchange(spark, sf_dir, tmp_path_facto
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan[:2000]
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Hive-style partitioned layout (lang=…/) + a lang filter must show
+    partition pruning in the scan: the filter appears as a
+    PartitionFilter and the scan reads only the matching directory —
+    at 100 TB this is the difference between scanning one partition and
+    the whole table (Iceberg partition spec = same contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path_factory.mktemp("parts")) + "/docs"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter("lang = 'en'")
+    plan = _plan(back)
+    scan = "\n".join(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "lang" in scan and "en" in scan, plan[:1500]
+    # the data filter did NOT degrade to a post-scan Filter on all rows
+    assert back.count() == docs.filter("lang = 'en'").count()
