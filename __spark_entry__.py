@@ -29,6 +29,7 @@ from entity_linking_spark.operators import clustering as C
 from entity_linking_spark.operators import incremental as INC
 from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
+from entity_linking_spark.operators import evaluation as EVAL
 from entity_linking_spark.operators import events as EV
 from entity_linking_spark.operators import graphwalk as GW
 from entity_linking_spark.operators import multimodal as MM
@@ -352,6 +353,24 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_records, old_edges, max_iter=cfg.cc_max_iter
     )
     return INC.incremental_link(old_records, old_clusters, new_t, cfg)
+
+
+def q_dictionary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VerifyDictionaryMentions analog: fraction of records with at
+    least one alias-dictionary probe hit."""
+    recs = _records(spark, sf_dir)
+    return EVAL.dictionary_coverage(
+        recs, DICT.dict_blocks(recs, DICT.alias_dictionary(recs))
+    )
+
+
+def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiffSolutions analog: pairwise Rand agreement between the full
+    clustering and the incremental (dictionary-free) clustering, from
+    contingency counts — no pair materialization."""
+    return EVAL.clustering_agreement(
+        q_entity_clusters(spark, sf_dir), q_incremental_clusters(spark, sf_dir)
+    )
 
 
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_clusters": q_entity_clusters,
         "calibration_sweep": q_calibration_sweep,
         "incremental_clusters": q_incremental_clusters,
+        "dictionary_coverage": q_dictionary_coverage,
+        "clustering_agreement": q_clustering_agreement,
         "cluster_members": q_cluster_members,
         "cluster_sizes": q_cluster_sizes,
         # training-data pipeline family
@@ -859,6 +880,17 @@ def oracle_sql() -> dict[str, str]:
         # property (see oracle.chain.incremental_oracle_sql docstring)
         "incremental_clusters": ORACLE.incremental_oracle_sql(
             LinkingConfig(**_INC_CFG_KW)
+        ),
+        "dictionary_coverage": (
+            f"WITH recs AS ({recs}), "
+            f"ad AS ({DICT.alias_dictionary_sql('SELECT * FROM recs')}), "
+            f"db AS ({DICT.dict_blocks_sql('SELECT * FROM recs', 'SELECT * FROM ad')}) "
+            + EVAL.dictionary_coverage_sql("SELECT * FROM recs", "SELECT * FROM db")
+        ),
+        "clustering_agreement": (
+            f"WITH ca AS MATERIALIZED ({ORACLE.clusters_oracle_sql(CFG)}), "
+            f"cb AS MATERIALIZED ({ORACLE.incremental_oracle_sql(LinkingConfig(**_INC_CFG_KW))}) "
+            + EVAL.clustering_agreement_sql("SELECT * FROM ca", "SELECT * FROM cb")
         ),
         "cluster_members": (
             "SELECT cluster_id, "

@@ -100,3 +100,127 @@ def blocking_recall(
         return 1.0
     found = gold_pairs.join(candidate_pairs, ["a_key", "b_key"], "left_semi").count()
     return found / total
+
+
+def dictionary_coverage(records: DataFrame, dict_blocks: DataFrame) -> DataFrame:
+    """One-row coverage audit: how many records probe at least one alias-
+    dictionary hit — the reference's dictionary-coverage analysis
+    (`evaluation/VerifyDictionaryMentions.java:30-90`) as an aggregate.
+    Output: (n_records, n_covered, coverage)."""
+    n = records.agg(F.count("*").alias("n_records"))
+    cov = dict_blocks.agg(
+        F.countDistinct("rec_key").alias("n_covered")
+    )
+    return (
+        n.crossJoin(cov)
+        .select(
+            "n_records",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_records").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+def dictionary_coverage_sql(records_rel: str, dict_blocks_rel: str) -> str:
+    return f"""
+    SELECT n_records, n_covered,
+           round(CAST(n_covered AS DOUBLE) / CAST(n_records AS DOUBLE), 6) AS coverage
+    FROM (SELECT count(*) AS n_records FROM ({records_rel}))
+    CROSS JOIN (SELECT count(DISTINCT rec_key) AS n_covered FROM ({dict_blocks_rel}))
+    """
+
+
+def clustering_agreement(clusters_a: DataFrame, clusters_b: DataFrame) -> DataFrame:
+    """Pairwise agreement (Rand index) between two clusterings of the
+    same records — the `debug/DiffSolutions.java:14-112` analog, computed
+    scale-correctly from the CONTINGENCY TABLE instead of materializing
+    O(N²) record pairs: with n_ij = |cluster_i(A) ∩ cluster_j(B)|,
+
+        agree_both    = Σ_ij C(n_ij, 2)          (same in A and B)
+        only_a        = Σ_i C(n_i·, 2) − agree_both
+        only_b        = Σ_j C(n_·j, 2) − agree_both
+        agree_neither = C(N, 2) − the rest
+        rand          = (agree_both + agree_neither) / C(N, 2)
+
+    Three groupBys over N rows total — this is how two 10^12-row
+    clusterings (e.g. nightly batch vs incremental fold) are compared in
+    production. Inputs: (rec_key, cluster_id) each; inner-joined on
+    rec_key. Output: one exact-integer row + rand (round 6)."""
+    j = clusters_a.select(
+        "rec_key", F.col("cluster_id").alias("a_cl")
+    ).join(
+        clusters_b.select("rec_key", F.col("cluster_id").alias("b_cl")), "rec_key"
+    )
+    # shiftright = exact integer halving of the (always even) n·(n−1),
+    # staying in long arithmetic — float division loses exactness past
+    # 2^53, which is real at 10^12-row cluster sizes
+    c2 = lambda c: F.shiftright((c * (c - 1)).cast("long"), 1)  # noqa: E731
+    cells = j.groupBy("a_cl", "b_cl").agg(F.count("*").alias("n")).agg(
+        F.sum(c2(F.col("n"))).alias("agree_both")
+    )
+    rows_a = j.groupBy("a_cl").agg(F.count("*").alias("n")).agg(
+        F.sum(c2(F.col("n"))).alias("same_a")
+    )
+    rows_b = j.groupBy("b_cl").agg(F.count("*").alias("n")).agg(
+        F.sum(c2(F.col("n"))).alias("same_b")
+    )
+    tot = j.agg(
+        c2(F.count("*")).alias("pairs_total"), F.count("*").alias("n_records")
+    )
+    out = tot.crossJoin(cells).crossJoin(rows_a).crossJoin(rows_b)
+    only_a = F.col("same_a") - F.col("agree_both")
+    only_b = F.col("same_b") - F.col("agree_both")
+    neither = F.col("pairs_total") - F.col("same_a") - F.col("same_b") + F.col("agree_both")
+    return out.select(
+        "n_records",
+        "pairs_total",
+        "agree_both",
+        only_a.alias("only_a"),
+        only_b.alias("only_b"),
+        neither.alias("agree_neither"),
+        F.round(
+            (F.col("agree_both") + neither).cast("double")
+            / F.greatest(F.col("pairs_total"), F.lit(1)).cast("double"),
+            6,
+        ).alias("rand_index"),
+    )
+
+
+def clustering_agreement_sql(clusters_a_rel: str, clusters_b_rel: str) -> str:
+    c2 = lambda c: f"CAST(({c} * ({c} - 1)) // 2 AS BIGINT)"  # noqa: E731
+    return f"""
+    SELECT t.n_records, t.pairs_total, c.agree_both,
+           ra.same_a - c.agree_both AS only_a,
+           rb.same_b - c.agree_both AS only_b,
+           t.pairs_total - ra.same_a - rb.same_b + c.agree_both AS agree_neither,
+           round(CAST(c.agree_both + t.pairs_total - ra.same_a - rb.same_b + c.agree_both AS DOUBLE)
+                 / CAST(greatest(t.pairs_total, 1) AS DOUBLE), 6) AS rand_index
+    FROM (
+      SELECT count(*) AS n_records, {c2('count(*)')} AS pairs_total
+      FROM ({clusters_a_rel}) a JOIN ({clusters_b_rel}) b USING (rec_key)
+    ) t
+    CROSS JOIN (
+      SELECT CAST(sum({c2('n')}) AS BIGINT) AS agree_both FROM (
+        SELECT count(*) AS n
+        FROM ({clusters_a_rel}) a JOIN ({clusters_b_rel}) b USING (rec_key)
+        GROUP BY a.cluster_id, b.cluster_id
+      )
+    ) c
+    CROSS JOIN (
+      SELECT CAST(sum({c2('n')}) AS BIGINT) AS same_a FROM (
+        SELECT count(*) AS n
+        FROM ({clusters_a_rel}) a JOIN ({clusters_b_rel}) b USING (rec_key)
+        GROUP BY a.cluster_id
+      )
+    ) ra
+    CROSS JOIN (
+      SELECT CAST(sum({c2('n')}) AS BIGINT) AS same_b FROM (
+        SELECT count(*) AS n
+        FROM ({clusters_a_rel}) a JOIN ({clusters_b_rel}) b USING (rec_key)
+        GROUP BY b.cluster_id
+      )
+    ) rb
+    """

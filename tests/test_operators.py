@@ -119,3 +119,29 @@ def test_minhash_determinism(spark):
     s1 = B.minhash_signatures(df, 8, 5, 42).collect()[0].asDict()
     s2 = B.minhash_signatures(df, 8, 5, 42).collect()[0].asDict()
     assert s1 == s2
+
+
+def test_clustering_agreement_identity_and_known_split(spark):
+    """Rand index from contingency counts: identical clusterings score
+    1.0; a hand-computed split scores its exact value."""
+    from entity_linking_spark.operators import evaluation as E2
+
+    ca = spark.createDataFrame(
+        [("r1", "c1"), ("r2", "c1"), ("r3", "c2"), ("r4", "c2")],
+        "rec_key string, cluster_id string",
+    )
+    same = E2.clustering_agreement(ca, ca).collect()[0]
+    assert same["rand_index"] == 1.0
+    assert same["only_a"] == 0 and same["only_b"] == 0
+    assert same["agree_both"] == 2  # C(2,2) pairs within each of 2 clusters
+
+    # B splits c2: pairs = 6 total; agree_both = 1 (r1r2);
+    # only_a = 1 (r3r4 same in A, split in B); only_b = 0; neither = 4
+    cb = spark.createDataFrame(
+        [("r1", "c1"), ("r2", "c1"), ("r3", "x"), ("r4", "y")],
+        "rec_key string, cluster_id string",
+    )
+    split = E2.clustering_agreement(ca, cb).collect()[0]
+    assert (split["agree_both"], split["only_a"], split["only_b"]) == (1, 1, 0)
+    assert split["agree_neither"] == 4
+    assert split["rand_index"] == round(5 / 6, 6)
