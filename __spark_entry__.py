@@ -337,22 +337,28 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the same split → old-clustering → fold
     computation stage by stage; incremental == full-batch equivalence is
     proven separately in pytest (cap-boundary caveat documented in
-    oracle.chain.incremental_oracle_sql)."""
-    cfg = LinkingConfig(hash_mode=CFG.hash_mode, **_INC_CFG_KW)
-    t = _transcripts(spark, sf_dir)
-    parity = F.pmod(F.substring("conv_id", 6, 10).cast("int"), F.lit(2))
-    old_t = t.filter(parity == 0)
-    new_t = t.filter(parity == 1)
-    old_records = B.prepare_records(old_t)
-    old_edges = S.match_edges(
-        S.pair_features(
-            P.block_pairs(build_blocks(old_records, cfg), cfg.block_cap), old_records
+    oracle.chain.incremental_oracle_sql). Memoized: clustering_agreement
+    consumes the same result."""
+
+    def build():
+        cfg = LinkingConfig(hash_mode=CFG.hash_mode, **_INC_CFG_KW)
+        t = _transcripts(spark, sf_dir)
+        parity = F.pmod(F.substring("conv_id", 6, 10).cast("int"), F.lit(2))
+        old_t = t.filter(parity == 0)
+        new_t = t.filter(parity == 1)
+        old_records = B.prepare_records(old_t)
+        old_edges = S.match_edges(
+            S.pair_features(
+                P.block_pairs(build_blocks(old_records, cfg), cfg.block_cap),
+                old_records,
+            )
         )
-    )
-    old_clusters = C.clusters_with_singletons(
-        old_records, old_edges, max_iter=cfg.cc_max_iter
-    )
-    return INC.incremental_link(old_records, old_clusters, new_t, cfg)
+        old_clusters = C.clusters_with_singletons(
+            old_records, old_edges, max_iter=cfg.cc_max_iter
+        )
+        return INC.incremental_link(old_records, old_clusters, new_t, cfg)
+
+    return _memo(spark, sf_dir, "incremental_clusters", build)
 
 
 def q_dictionary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
