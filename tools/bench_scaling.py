@@ -28,16 +28,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 INPUT_DIR = os.environ.get("ELS_SCALING_INPUT", "/tmp/els_scaling_input")
 N_CONVS = int(os.environ.get("ELS_SCALING_CONVS", "160000"))
+# entities scale with the corpus so per-entity record counts (and with
+# them pair fanout under the block cap) stay constant across scale
+# points — fixed entities would starve pair generation at bigger N
+N_ENTS = int(os.environ.get("ELS_SCALING_ENTS", str(max(500, N_CONVS // 320))))
 SEED = 42
 
 
 def ensure_input(spark) -> str:
-    path = os.path.join(INPUT_DIR, f"transcripts_{N_CONVS}_{SEED}")
+    path = os.path.join(INPUT_DIR, f"transcripts_{N_CONVS}_{N_ENTS}_{SEED}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from entity_linking_spark.sources.transcripts import synth_transcripts
 
         tdf, _ = synth_transcripts(
-            spark, n_convs=N_CONVS, n_entities=500, seed=SEED, hot_alias_rate=0.02
+            spark, n_convs=N_CONVS, n_entities=N_ENTS, seed=SEED, hot_alias_rate=0.02
         )
         tdf.repartition(64).write.mode("overwrite").parquet(path)
     return path
