@@ -346,17 +346,24 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         parity = F.pmod(F.substring("conv_id", 6, 10).cast("int"), F.lit(2))
         old_t = t.filter(parity == 0)
         new_t = t.filter(parity == 1)
-        old_records = B.prepare_records(old_t)
+        # the "previous run"'s materialized state — records, blocks index,
+        # clustering — is checkpointed once and shared by every consumer
+        # (old-edge scoring, the incremental join's build side, the star
+        # edges), instead of re-deriving the chain per consumer
+        old_records = B.prepare_records(old_t).localCheckpoint()
+        old_blocks = build_blocks(old_records, cfg).localCheckpoint()
         old_edges = S.match_edges(
             S.pair_features(
-                P.block_pairs(build_blocks(old_records, cfg), cfg.block_cap),
+                P.block_pairs(old_blocks, cfg.block_cap),
                 old_records,
             )
         )
         old_clusters = C.clusters_with_singletons(
             old_records, old_edges, max_iter=cfg.cc_max_iter
+        ).localCheckpoint()
+        return INC.incremental_link(
+            old_records, old_clusters, new_t, cfg, old_blocks=old_blocks
         )
-        return INC.incremental_link(old_records, old_clusters, new_t, cfg)
 
     return _memo(spark, sf_dir, "incremental_clusters", build)
 

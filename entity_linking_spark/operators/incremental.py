@@ -42,18 +42,37 @@ def incremental_pairs(
 ) -> DataFrame:
     """Candidate pairs where at least one side is new: (new,new) pairs
     plus (old,new) pairs sharing a block key. The old×old quadrant — the
-    overwhelming bulk at scale — is never generated."""
+    overwhelming bulk at scale — is never generated.
+
+    Plan shape: the join's PROBE side is new rows only (`is_new` filtered
+    below the join, which prunes the old branch of the union at the scan),
+    the build side is the full capped block table. The asymmetric
+    new×all join emits each (new, old) pair once and each (new, new) pair
+    twice (once per direction); least/greatest + distinct restores the
+    canonical a_key < b_key ordering. A symmetric all×all join filtered by
+    `a.is_new OR b.is_new` would be wrong at scale: the disjunction
+    references both sides, so it cannot push below the join and every
+    old×old pair inside every block would be enumerated then discarded.
+
+    The cap is computed over the UNION of old and new rows (a block's
+    membership count includes both), so the admitted pair set is identical
+    to what a full-batch run at the same cap would admit inside that block.
+    """
     all_blocks = old_blocks.withColumn("is_new", F.lit(False)).unionByName(
         new_blocks.withColumn("is_new", F.lit(True))
     )
     capped = P.cap_blocks(all_blocks, cap)
-    a = capped.alias("a")
-    b = capped.alias("b")
+    probe = capped.filter(F.col("is_new")).select("rec_key", "block_key")
+    build = capped.select("rec_key", "block_key")
+    a = probe.alias("a")
+    b = build.alias("b")
     return (
         a.join(b, "block_key")
-        .filter(F.col("a.rec_key") < F.col("b.rec_key"))
-        .filter(F.col("a.is_new") | F.col("b.is_new"))
-        .select(F.col("a.rec_key").alias("a_key"), F.col("b.rec_key").alias("b_key"))
+        .filter(F.col("a.rec_key") != F.col("b.rec_key"))
+        .select(
+            F.least("a.rec_key", "b.rec_key").alias("a_key"),
+            F.greatest("a.rec_key", "b.rec_key").alias("b_key"),
+        )
         .distinct()
     )
 
@@ -63,16 +82,23 @@ def incremental_link(
     old_clusters: DataFrame,
     new_transcripts: DataFrame,
     cfg: LinkingConfig | None = None,
+    old_blocks: DataFrame | None = None,
 ) -> DataFrame:
     """(rec_key, cluster_id) over old ∪ new records.
 
     old_clusters: (rec_key, cluster_id) from the previous run (cluster_id
     = min member rec_key). New edges are merged with the old clustering's
     star edges so transitivity across batches is preserved: if a new turn
-    bridges two old clusters, they merge (to the smaller min-key)."""
+    bridges two old clusters, they merge (to the smaller min-key).
+
+    `old_blocks` lets the caller pass the persisted blocks index of the
+    previous run (at 10^12 turns that index is an Iceberg table; in the
+    batch resume path the caller already materialized it for the previous
+    clustering) instead of re-deriving it from old_records."""
     cfg = cfg or LinkingConfig()
     new_records = B.prepare_records(new_transcripts)
-    old_blocks = build_blocks(old_records, cfg)
+    if old_blocks is None:
+        old_blocks = build_blocks(old_records, cfg)
     new_blocks = build_blocks(new_records, cfg)
     prs = incremental_pairs(old_blocks, new_blocks, cfg.block_cap)
     all_records = old_records.unionByName(new_records)

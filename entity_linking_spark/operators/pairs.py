@@ -7,7 +7,7 @@ mentions with > MAX_CANDIDATES=2000 candidates
 (`md/MentionDetection.java:23-24,178-181`).
 
 Spark shape: self-join on block_key with `a.rec_key < b.rec_key`, after a
-window-count cap drops oversized blocks. The cap bounds the quadratic
+groupBy-count + semi-join cap drops oversized blocks. The cap bounds the quadratic
 explosion to cap²/2 per block — the single most important skew control in
 the whole engine: with AQE skew-join splitting this keeps every shuffle
 partition bounded regardless of key distribution at 100 TB.
@@ -15,28 +15,40 @@ partition bounded regardless of key distribution at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BLOCK_CAP = 64
 
 
 def cap_blocks(blocked: DataFrame, cap: int = DEFAULT_BLOCK_CAP) -> DataFrame:
-    """Drop all rows of blocks with more than `cap` members (F4 analog)."""
-    w = Window.partitionBy("block_key")
-    return (
-        blocked.withColumn("_bn", F.count("*").over(w))
+    """Drop all rows of blocks with more than `cap` members (F4 analog).
+
+    Shape: groupBy-count + semi-join, NOT `count(*) over (partition by
+    block_key)`. The window form shuffles every row of a hot block into a
+    single task's sort buffer before the cap can drop it — the pathological
+    key the cap exists to defend against would itself become the skew
+    victim. The groupBy gets map-side partial aggregation (a stop-word key
+    collapses to one row per map partition) and the join back is on the
+    already-aggregated, bounded key set; AQE skew-join splitting applies to
+    the join, which it never does for window partitions."""
+    ok = (
+        blocked.groupBy("block_key")
+        .agg(F.count("*").alias("_bn"))
         .filter(F.col("_bn") <= cap)
-        .drop("_bn")
+        .select("block_key")
     )
+    return blocked.join(ok, "block_key").select(*blocked.columns)
 
 
 def cap_blocks_sql(blocked_rel: str, cap: int = DEFAULT_BLOCK_CAP) -> str:
     return f"""
-    SELECT rec_key, block_key FROM (
-      SELECT rec_key, block_key, count(*) OVER (PARTITION BY block_key) AS _bn
-      FROM ({blocked_rel})
-    ) WHERE _bn <= {cap}
+    SELECT b.rec_key, b.block_key
+    FROM ({blocked_rel}) b
+    JOIN (
+      SELECT block_key FROM ({blocked_rel})
+      GROUP BY block_key HAVING count(*) <= {cap}
+    ) ok USING (block_key)
     """
 
 

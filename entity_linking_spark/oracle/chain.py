@@ -113,16 +113,21 @@ def incremental_oracle_sql(
       SELECT rec_key, block_key, TRUE AS is_new FROM new_blocks
     ),
     capped AS (
-      SELECT rec_key, block_key, is_new FROM (
-        SELECT rec_key, block_key, is_new,
-               count(*) OVER (PARTITION BY block_key) AS _bn
-        FROM tagged
-      ) WHERE _bn <= {cfg.block_cap}
+      SELECT t.rec_key, t.block_key, t.is_new
+      FROM tagged t
+      JOIN (
+        SELECT block_key FROM tagged
+        GROUP BY block_key HAVING count(*) <= {cfg.block_cap}
+      ) ok USING (block_key)
     ),
     inc_pairs AS (
-      SELECT DISTINCT a.rec_key AS a_key, b.rec_key AS b_key
-      FROM capped a JOIN capped b USING (block_key)
-      WHERE a.rec_key < b.rec_key AND (a.is_new OR b.is_new)
+      -- probe side new-only, build side all: old×old never enumerated
+      -- (mirrors operators/incremental.incremental_pairs)
+      SELECT DISTINCT least(a.rec_key, b.rec_key) AS a_key,
+                      greatest(a.rec_key, b.rec_key) AS b_key
+      FROM (SELECT rec_key, block_key FROM capped WHERE is_new) a
+      JOIN capped b USING (block_key)
+      WHERE a.rec_key <> b.rec_key
     ),
     inc_features AS ({feats}),
     new_edges AS ({S.match_edges_sql("SELECT * FROM inc_features")}),

@@ -124,3 +124,76 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
     assert "lang" in scan and "en" in scan, plan[:1500]
     # the data filter did NOT degrade to a post-scan Filter on all rows
     assert back.count() == docs.filter("lang = 'en'").count()
+
+
+def test_cap_blocks_partial_agg_no_window(spark):
+    """VERDICT r2 #2: the block cap must not route a hot block through a
+    single task's window sort. Plan contract: block sizes come from a
+    groupBy with MAP-SIDE partial aggregation (partial_count before the
+    Exchange) joined back; no Window operator anywhere. A stop-word block
+    key then collapses to one row per map partition instead of
+    materializing whole in one task."""
+    from entity_linking_spark.operators import pairs as P
+
+    rows = [(f"r{i:03d}", "hot") for i in range(100)] + [
+        ("a1", "cold"), ("a2", "cold")
+    ]
+    blocked = spark.createDataFrame(rows, "rec_key string, block_key string")
+    capped = P.cap_blocks(blocked, cap=10)
+    plan = _plan(capped)
+    assert "partial_count" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    # semantics unchanged vs the window form: hot block dropped whole
+    out = {(r["rec_key"], r["block_key"]) for r in capped.collect()}
+    assert out == {("a1", "cold"), ("a2", "cold")}
+
+
+def test_incremental_pairs_never_enumerates_old_x_old(spark, tmp_path_factory):
+    """VERDICT r2 #1: the incremental join's probe side must be new rows
+    only, so the old×old quadrant is never produced. Two checks:
+
+    1. semantics — pair output equals the declared set {(min,max): a,b
+       share a capped block, a≠b, at least one side new};
+    2. plan — the probe side's old-branch scan is pruned (the is_new
+       literal filter folds the union branch away), so the old parquet
+       file is scanned strictly fewer times than the new one (symmetric
+       all×all enumeration scans them equally often).
+    """
+    from entity_linking_spark.operators import incremental as INC
+
+    base = tmp_path_factory.mktemp("incblocks")
+    old_rows = [(f"o{i}", "shared") for i in range(5)] + [
+        ("o7", "oldonly"), ("o8", "oldonly"), ("o9", "hot")
+    ] + [(f"oh{i}", "hot") for i in range(10)]
+    new_rows = [("n1", "shared"), ("n2", "newonly"), ("n3", "newonly"),
+                ("n4", "hot")]
+    spark.createDataFrame(old_rows, "rec_key string, block_key string") \
+        .write.mode("overwrite").parquet(f"{base}/old_blocks.parquet")
+    spark.createDataFrame(new_rows, "rec_key string, block_key string") \
+        .write.mode("overwrite").parquet(f"{base}/new_blocks.parquet")
+    old_b = spark.read.parquet(f"{base}/old_blocks.parquet")
+    new_b = spark.read.parquet(f"{base}/new_blocks.parquet")
+
+    cap = 8  # "hot" block has 12 members -> dropped whole (old+new counted)
+    got = {
+        (r["a_key"], r["b_key"])
+        for r in INC.incremental_pairs(old_b, new_b, cap=cap).collect()
+    }
+    members: dict[str, list[str]] = {}
+    for k, blk in old_rows + new_rows:
+        members.setdefault(blk, []).append(k)
+    expected = set()
+    for blk, ms in members.items():
+        if len(ms) > cap:
+            continue
+        for a in ms:
+            for b in ms:
+                if a < b and (a.startswith("n") or b.startswith("n")):
+                    expected.add((a, b))
+    assert got == expected and ("o0", "o1") not in got
+
+    plan = INC.incremental_pairs(old_b, new_b, cap=cap)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_old = plan.count("old_blocks.parquet")
+    n_new = plan.count("new_blocks.parquet")
+    assert n_old < n_new, f"old scanned {n_old}x vs new {n_new}x:\n{plan[:3000]}"
