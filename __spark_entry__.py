@@ -602,6 +602,22 @@ def q_pagerank_priors(spark, sf_dir):
     return GW.pagerank_with_priors(nodes, _edges(spark, sf_dir))
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """G4 weighted referent-graph parity: PageRank with transition shares
+    normalized by edge weight per source (relatedness/Σrelatedness in
+    `RandomGraphWalk.java:214-279`, uniform 1/k all-zero fallback
+    `:203-212`). Weights = the calibrated logistic match score on the
+    match edges, rounded to 6 dp so both engines iterate identical
+    inputs."""
+    records = _records(spark, sf_dir)
+    edges_w = (
+        S.scored_pairs(_features(spark, sf_dir))
+        .filter(S.match_condition())
+        .select("a_key", "b_key", F.round("score", 6).alias("weight"))
+    )
+    return GW.pagerank_weighted(records.select("rec_key"), edges_w)
+
+
 def q_tpch_q1(spark, sf_dir):
     return REL.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
@@ -681,6 +697,81 @@ def q_loopy_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_loopy_bp_solution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 argmax solution over the BP beliefs, deterministic tie-break."""
     return BP.bp_solution(_bp_beliefs(spark, sf_dir))
+
+
+def _bp_full_inputs(spark, sf_dir):
+    """ScorerFull potentials (G2, `ScorerFull.java:42-55`): local ψ = the
+    candidate prior p(e|m) (T11 — the `NameEntry.java:32-36` frequency
+    ratio, here tf(cand in turn)/Σtf over the turn), pairwise ψ = the
+    log-PMI λ (T10 — `ScorerFull.java:100-119`: ln co − ln df_a − ln df_b
+    floored at the anticorrelation constant ln Σco − 2·ln Σdf), shifted by
+    the floor so a pair ABSENT from the potentials table (ψ=0 via the BP
+    coalesce) sits exactly at the floor — the reference's treatment of
+    never-cocited candidates. Candidate sets and mention edges are the
+    same as `_bp_inputs`, so Basic-vs-Full belief differences isolate the
+    potential change."""
+    from pyspark.sql import Window as W
+
+    tfidf = _turn_tfidf(spark, sf_dir)
+    wdoc = W.partitionBy("doc_id")
+    wimp = W.partitionBy("doc_id").orderBy(F.desc("importance"), F.asc("term"))
+    cands = (
+        tfidf.withColumn("_tot", F.sum("tf").over(wdoc))
+        .withColumn("_r", F.row_number().over(wimp))
+        .filter(F.col("_r") <= 2)
+        .select(
+            F.col("doc_id").alias("mention"),
+            F.col("term").alias("cand"),
+            F.round(F.col("tf") / F.col("_tot"), 6).alias("local"),
+        )
+    )
+    mw = _turn_mw(spark, sf_dir)
+    terms = (
+        mw.select(F.col("term_a").alias("term"), F.col("df_a").alias("df"))
+        .unionByName(mw.select(F.col("term_b").alias("term"), F.col("df_b").alias("df")))
+        .distinct()
+    )
+    totals = mw.agg(F.sum("co").alias("tot_co")).crossJoin(
+        terms.agg(F.sum("df").alias("tot_df"))
+    )
+    lam = (
+        F.log(F.col("co").cast("double"))
+        - F.log(F.col("df_a").cast("double"))
+        - F.log(F.col("df_b").cast("double"))
+    )
+    floor = F.log(F.col("tot_co").cast("double")) - F.lit(2.0) * F.log(
+        F.col("tot_df").cast("double")
+    )
+    pots = mw.crossJoin(F.broadcast(totals)).select(
+        F.col("term_a").alias("c_a"),
+        F.col("term_b").alias("c_b"),
+        F.round(F.greatest(lam, floor) - floor, 6).alias("psi"),
+    )
+    records = _records(spark, sf_dir)
+    r2 = records.select("conv_id", "turn_idx", F.col("rec_key").alias("m_b"))
+    edges = records.select(
+        "conv_id", (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("rec_key").alias("m_a"),
+    ).join(r2, ["conv_id", "turn_idx"]).select("m_a", "m_b")
+    return cands, pots, edges
+
+
+def _bp_full_beliefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build():
+        cands, pots, edges = _bp_full_inputs(spark, sf_dir)
+        return BP.loopy_bp(cands, pots, edges, max_iter=_BP_ITERS, eps=None)
+
+    return _memo(spark, sf_dir, "bp_full_beliefs", build)
+
+
+def q_loopy_bp_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2 with the Full-scorer potentials: prior local ψ + floored
+    log-PMI pairwise ψ, two synchronous rounds (oracle unrolls the same);
+    the EPS=1e-5 convergence path is exercised in pytest
+    (tests/test_beliefprop.py::test_full_potentials_converge)."""
+    return _bp_full_beliefs(spark, sf_dir).select(
+        "mention", "cand", F.round("belief", 6).alias("belief")
+    )
 
 
 def q_tpch_q14(spark, sf_dir):
@@ -784,7 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_normalize": q_link_normalize,
         "pagerank": q_pagerank,
         "pagerank_priors": q_pagerank_priors,
+        "pagerank_weighted": q_pagerank_weighted,
         "loopy_bp": q_loopy_bp,
+        "loopy_bp_full": q_loopy_bp_full,
         "loopy_bp_solution": q_loopy_bp_solution,
         "events_sessionize": q_events_sessionize,
         "events_tumbling": q_events_tumbling,
@@ -976,6 +1069,63 @@ def _bp_prelude() -> str:
     )
 
 
+def _bp_full_prelude() -> str:
+    """CTE prelude for the Full-scorer BP oracle (`_bp_full_inputs` twin):
+    prior local ψ from the turn tf ratio, λ−floor pairwise ψ from the MW
+    co/df columns and corpus totals."""
+    from entity_linking_spark.operators import tfidf as _T
+
+    turn_tfidf = _T.token_tfidf_sql("SELECT rec_key AS doc_id, tokens FROM records_m")
+    mw = _T.milne_witten_relatedness_sql(
+        "SELECT rec_key AS doc_id, tokens FROM records_m"
+    )
+    return (
+        f"{ORACLE.pipeline_ctes(CFG)}, "
+        f"records_m AS MATERIALIZED (SELECT * FROM records), "
+        f"turn_tfidf AS MATERIALIZED ({turn_tfidf}), "
+        f"bp_cands_in AS ("
+        f"  SELECT doc_id AS mention, term AS cand,"
+        f"         round(tf_d / tot_d, 6) AS local FROM ("
+        f"    SELECT doc_id, term, CAST(tf AS DOUBLE) AS tf_d,"
+        f"           CAST(sum(tf) OVER (PARTITION BY doc_id) AS DOUBLE) AS tot_d,"
+        f"           row_number() OVER (PARTITION BY doc_id"
+        f"             ORDER BY importance DESC, term ASC) AS _r"
+        f"    FROM turn_tfidf"
+        f"  ) WHERE _r <= 2"
+        f"), "
+        f"mw_m AS MATERIALIZED ({mw}), "
+        f"bp_tot AS ("
+        f"  SELECT (SELECT sum(co) FROM mw_m) AS tot_co,"
+        f"         (SELECT sum(df) FROM (SELECT DISTINCT term, df FROM ("
+        f"            SELECT term_a AS term, df_a AS df FROM mw_m"
+        f"            UNION ALL SELECT term_b, df_b FROM mw_m))) AS tot_df"
+        f"), "
+        f"bp_pots AS ("
+        f"  SELECT term_a AS c_a, term_b AS c_b,"
+        f"         round(greatest(ln(CAST(co AS DOUBLE)) - ln(CAST(df_a AS DOUBLE))"
+        f"                        - ln(CAST(df_b AS DOUBLE)), t.fl) - t.fl, 6) AS psi"
+        f"  FROM mw_m CROSS JOIN ("
+        f"    SELECT ln(CAST(tot_co AS DOUBLE)) - 2.0 * ln(CAST(tot_df AS DOUBLE)) AS fl"
+        f"    FROM bp_tot) t"
+        f"), "
+        f"bp_edges_in AS ("
+        f"  SELECT a.rec_key AS m_a, b.rec_key AS m_b"
+        f"  FROM records_m a JOIN records_m b"
+        f"    ON a.conv_id = b.conv_id AND a.turn_idx + 1 = b.turn_idx"
+        f")"
+    )
+
+
+def _loopy_bp_full_oracle() -> str:
+    body, final = BP.loopy_bp_ctes(
+        "SELECT * FROM bp_cands_in",
+        "SELECT * FROM bp_pots",
+        "SELECT * FROM bp_edges_in",
+        iters=_BP_ITERS,
+    )
+    return f"WITH {_bp_full_prelude()}, {body} {final}"
+
+
 def _loopy_bp_oracle(solution: bool) -> str:
     body, final = BP.loopy_bp_ctes(
         "SELECT * FROM bp_cands_in",
@@ -998,6 +1148,21 @@ def _loopy_bp_oracle(solution: bool) -> str:
         ) WHERE _r = 1
         """
     return f"WITH {_bp_prelude()}, {body} {final}"
+
+
+def _pagerank_weighted_oracle() -> str:
+    body, final = GW.pagerank_weighted_ctes(
+        "SELECT rec_key FROM records_m", "SELECT * FROM edges_w"
+    )
+    return (
+        f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+        f"records_m AS MATERIALIZED (SELECT * FROM records), "
+        f"edges_w AS MATERIALIZED ("
+        f"  SELECT a_key, b_key, round({S.LOGISTIC_SCORE_SQL}, 6) AS weight "
+        f"  FROM features WHERE {S.MATCH_CONDITION_SQL}"
+        f"), "
+        f"{body} {final}"
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -1059,7 +1224,9 @@ def _training_data_oracles() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle(),
         "pagerank_priors": _pagerank_priors_oracle(),
+        "pagerank_weighted": _pagerank_weighted_oracle(),
         "loopy_bp": _loopy_bp_oracle(solution=False),
+        "loopy_bp_full": _loopy_bp_full_oracle(),
         "loopy_bp_solution": _loopy_bp_oracle(solution=True),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),

@@ -67,6 +67,7 @@ def loopy_bp(
     max_iter: int = 10,
     eps: float | None = EPS,
     checkpoint: bool = True,
+    info: dict | None = None,
 ) -> DataFrame:
     """(mention, cand, belief): max-product beliefs after convergence.
 
@@ -82,6 +83,11 @@ def loopy_bp(
     (`LoopyBeliefPropagation.java:47-102`) is a sequential Gauss-Seidel
     schedule that is inherently single-threaded. Fixed points coincide;
     the pytest oracle replays the synchronous schedule exactly.
+
+    `info`, if given, is populated with {"iterations": rounds run,
+    "delta": last max |Δbelief| (None when eps is None)} — the
+    convergence telemetry the reference prints per iteration
+    (`LoopyBeliefPropagation.java:104-109`).
     """
     de = _directed_edges(edges)
     if checkpoint:
@@ -121,7 +127,10 @@ def loopy_bp(
     if checkpoint:
         msgs = msgs.localCheckpoint()
     prev_belief = None
+    last_delta = None
+    n_rounds = 0
     for _ in range(max_iter):
+        n_rounds += 1
         # G3: inbox(m, c) = Σ msg(·→m, c), ONE aggregate; the excluded
         # reverse message is subtracted per edge, not re-aggregated
         inbox = msgs.groupBy(
@@ -189,10 +198,14 @@ def loopy_bp(
                 )
                 .collect()[0]["d"]
             )
+            last_delta = delta
             if delta is not None and delta < eps:
                 prev_belief = belief
                 break
         prev_belief = belief
+    if info is not None:
+        info["iterations"] = n_rounds
+        info["delta"] = last_delta
     return prev_belief
 
 

@@ -150,7 +150,11 @@ def alias_dictionary_sql(
 def load_alias_dictionary(spark, path: str) -> DataFrame:
     """S3: load an external alias dictionary (TSV/parquet with columns
     alias_key, canonical[, support]) — the reference's
-    `MentionIndex.load(path)` shape (`index/MentionIndex.java:28-52`)."""
+    `MentionIndex.load(path)` shape (`index/MentionIndex.java:28-52`).
+
+    Missing support — a parquet without the column, or a short TSV row —
+    defaults to 1, so downstream min-support filters and prior ratios
+    never see NULL."""
     if path.endswith(".tsv") or path.endswith(".txt"):
         df = spark.read.csv(
             path, sep="\t", schema="alias_key string, canonical string, support long"
@@ -159,7 +163,13 @@ def load_alias_dictionary(spark, path: str) -> DataFrame:
         df = spark.read.parquet(path)
     if "support" not in df.columns:
         df = df.withColumn("support", F.lit(1).cast("long"))
-    return df.select("alias_key", "canonical", "support")
+    return df.select(
+        "alias_key",
+        "canonical",
+        F.coalesce(F.col("support").cast("long"), F.lit(1).cast("long")).alias(
+            "support"
+        ),
+    )
 
 
 def dict_blocks(records: DataFrame, dictionary: DataFrame) -> DataFrame:

@@ -206,6 +206,130 @@ def pagerank_with_priors(
     return p.select(F.col("node").alias("rec_key"), F.round("p", 6).alias("rank"))
 
 
+def pagerank_weighted(
+    nodes: DataFrame,
+    edges_w: DataFrame,
+    iters: int = DEFAULT_ITERS,
+    alpha: float = ALPHA,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(rec_key, rank): PageRank over WEIGHTED edges — the reference's
+    referent-graph G4 edge semantics. `RandomGraphWalk.java:214-279`
+    normalizes entity-entity transition weights by relatedness/Σrelatedness
+    and falls back to uniform 1/k when every weight on a node is zero
+    (`:203-212`). Here: edges_w = (a_key, b_key, weight >= 0) undirected;
+    the graph is symmetrized and every node gets a weight-0 self-loop, and
+    per source the transition share is
+
+        share = weight / Σ_out weight      if Σ_out weight > 0
+              = 1 / outdeg                 otherwise (all-zero fallback)
+
+    so Σ_out share = 1 always (the self-loop keeps isolated nodes
+    dangling-free: their whole mass walks the loop). Teleport and
+    iteration count match `pagerank`; invariant Σ rank = 1 per superstep
+    (G7, asserted in tests). The share column is computed ONCE before the
+    loop (one groupBy + one join), so each superstep stays the standard
+    two-shuffle join+agg."""
+    sym = edges_w.select(
+        F.col("a_key").alias("src"), F.col("b_key").alias("dst"), "weight"
+    ).union(
+        edges_w.select(
+            F.col("b_key").alias("src"), F.col("a_key").alias("dst"), "weight"
+        )
+    )
+    loops = nodes.select(
+        F.col("rec_key").alias("src"),
+        F.col("rec_key").alias("dst"),
+        F.lit(0.0).alias("weight"),
+    )
+    g = sym.union(loops).groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+    outw = g.groupBy("src").agg(
+        F.sum("weight").alias("sw"), F.count("*").alias("outdeg")
+    )
+    g = g.join(outw, "src").select(
+        "src",
+        "dst",
+        F.when(F.col("sw") > 0, F.col("weight") / F.col("sw"))
+        .otherwise(F.lit(1.0) / F.col("outdeg"))
+        .alias("share"),
+    )
+    if checkpoint:
+        g = g.localCheckpoint()
+    n_nodes = nodes.count()
+    p = nodes.select(F.col("rec_key").alias("node"), F.lit(1.0 / n_nodes).alias("p"))
+    if checkpoint:
+        p = p.localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            g.join(p, g["src"] == p["node"])
+            .select(F.col("dst").alias("node"), (F.col("p") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        p = nodes.select(F.col("rec_key").alias("node")).join(
+            contrib, "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(alpha / n_nodes)
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("p"),
+        )
+        if checkpoint:
+            p = p.localCheckpoint()
+    return p.select(F.col("node").alias("rec_key"), F.round("p", 6).alias("rank"))
+
+
+def pagerank_weighted_ctes(
+    nodes_rel: str,
+    edges_w_rel: str,
+    iters: int = DEFAULT_ITERS,
+    alpha: float = ALPHA,
+) -> tuple[str, str]:
+    """DuckDB twin of `pagerank_weighted`. nodes_rel must yield (rec_key);
+    edges_w_rel (a_key, b_key, weight)."""
+    ctes = [
+        f"""nodesw_m AS MATERIALIZED (SELECT rec_key FROM ({nodes_rel})),
+        gw_raw AS MATERIALIZED (
+          SELECT src, dst, max(weight) AS weight FROM (
+            SELECT a_key AS src, b_key AS dst, weight FROM ({edges_w_rel})
+            UNION ALL
+            SELECT b_key AS src, a_key AS dst, weight FROM ({edges_w_rel})
+            UNION ALL
+            SELECT rec_key AS src, rec_key AS dst, 0.0 AS weight FROM nodesw_m
+          ) GROUP BY src, dst
+        )""",
+        """gw AS MATERIALIZED (
+          SELECT g.src, g.dst,
+                 CASE WHEN o.sw > 0 THEN g.weight / o.sw
+                      ELSE 1.0 / o.outdeg END AS share
+          FROM gw_raw g JOIN (
+            SELECT src, sum(weight) AS sw, count(*) AS outdeg
+            FROM gw_raw GROUP BY src
+          ) o USING (src)
+        )""",
+        "nnw AS MATERIALIZED (SELECT count(*) AS n FROM nodesw_m)",
+        "pw0 AS (SELECT rec_key AS node, 1.0 / nnw.n AS p "
+        "FROM nodesw_m CROSS JOIN nnw)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""pw{k} AS MATERIALIZED (
+              SELECT nd.node,
+                     {alpha!r} / nnw.n + {1.0 - alpha!r} * coalesce(i.inflow, 0.0) AS p
+              FROM (SELECT rec_key AS node FROM nodesw_m) nd
+              CROSS JOIN nnw
+              LEFT JOIN (
+                SELECT gw.dst AS node, sum(pp.p * gw.share) AS inflow
+                FROM gw JOIN pw{k - 1} pp ON gw.src = pp.node
+                GROUP BY gw.dst
+              ) i ON nd.node = i.node
+            )"""
+        )
+    body = ",\n".join(ctes)
+    return body, f"SELECT node AS rec_key, round(p, 6) AS rank FROM pw{iters}"
+
+
 def pagerank_priors_ctes(
     nodes_rel: str,
     edges_rel: str,

@@ -150,3 +150,24 @@ def test_messages_normalized_nonnegative(spark, factor_graph):
     b2 = sorted(map(tuple, BP.loopy_bp(cdf, pdf, edf, max_iter=2, eps=None).collect()))
     assert b1 == b2
     assert all(abs(x[2]) < 1e6 for x in b1)
+
+
+def test_full_potentials_converge(spark, sf_dir):
+    """VERDICT r2 item 5: run BP with the ScorerFull potentials (prior
+    local ψ + floored log-PMI λ pairwise ψ) under the reference's real
+    convergence budget — EPS = 1e-5, max 75 iterations
+    (`LoopyBeliefPropagation.java:22`,
+    `VerifyEntityDisambiguationLoopy.java:23`) — on the corpus-derived
+    referent graph, not a fixed 2-round unroll. Must converge strictly
+    before the cap with the final delta under EPS, and info must report
+    the telemetry."""
+    import __spark_entry__ as entry_mod
+
+    cands, pots, edges = entry_mod._bp_full_inputs(spark, sf_dir)
+    info: dict = {}
+    beliefs = BP.loopy_bp(
+        cands, pots, edges, max_iter=BP.MAX_ITER, eps=BP.EPS, info=info
+    )
+    assert beliefs.count() == cands.count()
+    assert 1 < info["iterations"] < BP.MAX_ITER, info
+    assert info["delta"] is not None and info["delta"] < BP.EPS, info
