@@ -76,10 +76,22 @@ def flagship_at(cpus: int) -> dict:
 
 
 def main() -> None:
+    """Per-query timings are MEDIANS over N_RUNS full passes (VERDICT r2
+    item 3: single-run numbers were contaminated by cache state and >30%
+    host steal — observed 5-50x single-query spikes between identical
+    runs). Before each pass the memoized stage prefixes and the Spark
+    block-manager cache are cleared, so every pass recomputes each query
+    from parquet with only the (deliberate, documented) intra-pass memo
+    sharing — the median then reflects the real plan cost, robust to
+    steal spikes. `value` remains the pass-1 (cold) headline-chain total
+    so the metric stays comparable with BENCH_r01/r02."""
+    import statistics
+
     from entity_linking_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
+    n_runs = int(os.environ.get("ELS_BENCH_RUNS", "3"))
     spark = get_spark(
         app_name="els-bench",
         master=f"local[{CPUS}]",
@@ -88,22 +100,34 @@ def main() -> None:
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
     extra = [n for n in qs if n not in names]
-    timings: dict[str, float] = {}
+    order = names + extra
+    runs: dict[str, list[float]] = {n: [] for n in order}
+    cold: dict[str, float] = {}
     n_turns = 0
-    for name in names + extra:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()  # full materialization
-        timings[name] = round(time.time() - t0, 3)
-        if name == "records_prepare":
-            n_turns = n
-    total = round(sum(timings[n] for n in names), 3)
-    flag = timings.get("entity_clusters", 0.0) or 1e-9
+    for i in range(n_runs):
+        if i > 0:
+            entry_mod._MEMO.clear()
+            spark.catalog.clearCache()
+        for name in order:
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()  # full materialization
+            dt = time.time() - t0
+            runs[name].append(dt)
+            if i == 0:
+                cold[name] = round(dt, 3)
+                if name == "records_prepare":
+                    n_turns = n
+    timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
+    total = round(sum(cold[n] for n in names), 3)
+    flag = cold.get("entity_clusters", 0.0) or 1e-9
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "bench_runs": n_runs,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": int(CPUS),
         "turns": n_turns,
