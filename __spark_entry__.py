@@ -90,10 +90,21 @@ def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized capped block table — the cap join's groupBy+join subtree
+    is evaluated once per session instead of once per consumer (pair
+    self-join sides, co-membership stats, degree counts, corpus totals).
+    At 10^12 turns this is the persisted (Iceberg) blocks index."""
+    return _memo(
+        spark, sf_dir, "capped",
+        lambda: P.cap_blocks(_blocks(spark, sf_dir), CFG.block_cap),
+    )
+
+
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(
         spark, sf_dir, "pairs",
-        lambda: P.block_pairs(_blocks(spark, sf_dir), CFG.block_cap),
+        lambda: P.pairs_from_capped(_capped(spark, sf_dir)),
     )
 
 
@@ -207,7 +218,7 @@ def q_record_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership count and match-graph degree — with popularity =
     1 + degree (`EntityLinksIndexBuilder.java:112-188`,
     `index/EntityLinksIndex.java:58-61`)."""
-    capped = P.cap_blocks(_blocks(spark, sf_dir), CFG.block_cap)
+    capped = _capped(spark, sf_dir)
     nb = capped.groupBy("rec_key").agg(F.countDistinct("block_key").alias("n_blocks"))
     edges = _edges(spark, sf_dir)
     deg = (
@@ -304,7 +315,7 @@ def q_pair_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scored_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scorer with T9 popularity, T11 prior p(e|m), T10 log-PMI λ
     over block co-membership, and the combined logistic score."""
-    capped = P.cap_blocks(_blocks(spark, sf_dir), CFG.block_cap)
+    capped = _capped(spark, sf_dir)
     # stats feeds both the corpus totals and the per-pair join —
     # checkpoint so it is computed once, not once per consumer
     stats = S.pair_block_stats(_pairs(spark, sf_dir), capped).localCheckpoint()
@@ -756,6 +767,70 @@ def _bp_full_inputs(spark, sf_dir):
     return cands, pots, edges
 
 
+def _bp_maxent_inputs(spark, sf_dir):
+    """ScorerMaxEnt potentials (G2, `ScorerMaxEnt.java:35-42,80-95`):
+    local ψ = ρ = ln popularity (`:37,80-85`; popularity analog = the
+    candidate term's document frequency), pairwise ψ = λ with the
+    reference's integer independence test — a pair co-cited no more than
+    chance (`cocitation <= pop1*pop2/N`, integer division `:91-95`)
+    scores CONST = −ln N (`:19-20`). Expressed exactly in both engines as
+    `co·N <= df_a·df_b` (bigint, no division). Pairwise ψ is shifted by
+    −CONST so chance-level/absent pairs sit at 0 under the BP coalesce —
+    a per-edge constant shift that the min-subtraction message
+    normalization cancels, so beliefs order identically to the raw
+    reference recipe."""
+    from pyspark.sql import Window as W
+
+    tfidf = _turn_tfidf(spark, sf_dir)
+    wimp = W.partitionBy("doc_id").orderBy(F.desc("importance"), F.asc("term"))
+    cands = (
+        tfidf.withColumn("_r", F.row_number().over(wimp))
+        .filter(F.col("_r") <= 2)
+        .select(
+            F.col("doc_id").alias("mention"),
+            F.col("term").alias("cand"),
+            F.round(F.log(F.col("df").cast("double")), 6).alias("local"),
+        )
+    )
+    records = _records(spark, sf_dir)
+    n_docs = records.agg(F.count("*").alias("n_docs"))
+    mw = _turn_mw(spark, sf_dir)
+    pots = (
+        mw.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("co") * F.col("n_docs") > F.col("df_a") * F.col("df_b"))
+        .select(
+            F.col("term_a").alias("c_a"),
+            F.col("term_b").alias("c_b"),
+            F.round(
+                F.log(F.col("co").cast("double"))
+                - F.log(F.col("df_a").cast("double"))
+                - F.log(F.col("df_b").cast("double"))
+                + F.log(F.col("n_docs").cast("double")),
+                6,
+            ).alias("psi"),
+        )
+    )
+    r2 = records.select("conv_id", "turn_idx", F.col("rec_key").alias("m_b"))
+    edges = records.select(
+        "conv_id", (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("rec_key").alias("m_a"),
+    ).join(r2, ["conv_id", "turn_idx"]).select("m_a", "m_b")
+    return cands, pots, edges
+
+
+def q_loopy_bp_maxent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 MaxEnt-scorer BP: ln-popularity local ψ + chance-tested λ
+    pairwise ψ, two synchronous rounds (oracle unrolls the same) —
+    completes the reference's Basic/Full/MaxEnt scorer family."""
+    def build():
+        cands, pots, edges = _bp_maxent_inputs(spark, sf_dir)
+        return BP.loopy_bp(cands, pots, edges, max_iter=_BP_ITERS, eps=None)
+
+    return _memo(spark, sf_dir, "bp_maxent_beliefs", build).select(
+        "mention", "cand", F.round("belief", 6).alias("belief")
+    )
+
+
 def _bp_full_beliefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         cands, pots, edges = _bp_full_inputs(spark, sf_dir)
@@ -903,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_normalize": q_link_normalize,
         "frame_sample": q_frame_sample,
         "loopy_bp_solution": q_loopy_bp_solution,
+        "loopy_bp_maxent": q_loopy_bp_maxent,
         "events_tumbling": q_events_tumbling,
         "events_json_props": q_events_json_props,
         "tpch_q14_promo": q_tpch_q14,
@@ -1131,6 +1207,55 @@ def _bp_full_prelude() -> str:
     )
 
 
+def _bp_maxent_prelude() -> str:
+    """CTE prelude for the MaxEnt BP oracle (`_bp_maxent_inputs` twin)."""
+    from entity_linking_spark.operators import tfidf as _T
+
+    turn_tfidf = _T.token_tfidf_sql("SELECT rec_key AS doc_id, tokens FROM records_m")
+    mw = _T.milne_witten_relatedness_sql(
+        "SELECT rec_key AS doc_id, tokens FROM records_m"
+    )
+    return (
+        f"{ORACLE.pipeline_ctes(CFG)}, "
+        f"records_m AS MATERIALIZED (SELECT * FROM records), "
+        f"turn_tfidf AS MATERIALIZED ({turn_tfidf}), "
+        f"bp_cands_in AS ("
+        f"  SELECT doc_id AS mention, term AS cand,"
+        f"         round(ln(CAST(df AS DOUBLE)), 6) AS local FROM ("
+        f"    SELECT doc_id, term, df,"
+        f"           row_number() OVER (PARTITION BY doc_id"
+        f"             ORDER BY importance DESC, term ASC) AS _r"
+        f"    FROM turn_tfidf"
+        f"  ) WHERE _r <= 2"
+        f"), "
+        f"mw_m AS MATERIALIZED ({mw}), "
+        f"bp_n AS (SELECT count(*) AS n_docs FROM records_m), "
+        f"bp_pots AS ("
+        f"  SELECT term_a AS c_a, term_b AS c_b,"
+        f"         round(ln(CAST(co AS DOUBLE)) - ln(CAST(df_a AS DOUBLE))"
+        f"               - ln(CAST(df_b AS DOUBLE))"
+        f"               + ln(CAST(n.n_docs AS DOUBLE)), 6) AS psi"
+        f"  FROM mw_m CROSS JOIN bp_n n"
+        f"  WHERE co * n.n_docs > df_a * df_b"
+        f"), "
+        f"bp_edges_in AS ("
+        f"  SELECT a.rec_key AS m_a, b.rec_key AS m_b"
+        f"  FROM records_m a JOIN records_m b"
+        f"    ON a.conv_id = b.conv_id AND a.turn_idx + 1 = b.turn_idx"
+        f")"
+    )
+
+
+def _loopy_bp_maxent_oracle() -> str:
+    body, final = BP.loopy_bp_ctes(
+        "SELECT * FROM bp_cands_in",
+        "SELECT * FROM bp_pots",
+        "SELECT * FROM bp_edges_in",
+        iters=_BP_ITERS,
+    )
+    return f"WITH {_bp_maxent_prelude()}, {body} {final}"
+
+
 def _loopy_bp_full_oracle() -> str:
     body, final = BP.loopy_bp_ctes(
         "SELECT * FROM bp_cands_in",
@@ -1242,6 +1367,7 @@ def _training_data_oracles() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_oracle(),
         "loopy_bp": _loopy_bp_oracle(solution=False),
         "loopy_bp_full": _loopy_bp_full_oracle(),
+        "loopy_bp_maxent": _loopy_bp_maxent_oracle(),
         "loopy_bp_solution": _loopy_bp_oracle(solution=True),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),

@@ -56,8 +56,19 @@ def block_pairs(blocked: DataFrame, cap: int = DEFAULT_BLOCK_CAP) -> DataFrame:
     """(a_key, b_key) distinct candidate pairs, a_key < b_key. A pair seen
     in several blocks is emitted once (the later scorer computes each pair
     feature exactly once — the reference's memo-map analog,
-    `RandomGraphWalk.java:233-239`, without the in-heap cache)."""
-    capped = cap_blocks(blocked, cap)
+    `RandomGraphWalk.java:233-239`, without the in-heap cache).
+
+    Callers with several consumers of the capped table (pair generation,
+    co-membership stats, degree counts) should materialize
+    `cap_blocks(...)` once — cache/checkpoint/Iceberg — and call
+    `pairs_from_capped`: the cap subtree (scan + agg + join) is otherwise
+    re-evaluated per consumer and per self-join side."""
+    return pairs_from_capped(cap_blocks(blocked, cap))
+
+
+def pairs_from_capped(capped: DataFrame) -> DataFrame:
+    """`block_pairs` over an already-capped (ideally materialized) block
+    table."""
     a = capped.alias("a")
     b = capped.alias("b")
     return (
