@@ -312,6 +312,17 @@ def q_pair_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity pair feature (the north_star scorer's fourth
+    named feature): cosine over feature-hashed token embeddings — a real
+    encoder's array<float> column uses the same join unchanged."""
+    return S.pair_embedding_cosine(
+        _pairs(spark, sf_dir).select("a_key", "b_key"),
+        _records(spark, sf_dir),
+        hash_mode=CFG.hash_mode,
+    )
+
+
 def q_scored_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scorer with T9 popularity, T11 prior p(e|m), T10 log-PMI λ
     over block co-membership, and the combined logistic score."""
@@ -923,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_jaro_winkler": q_pair_jaro_winkler,
+        "pair_embedding_cosine": q_pair_embedding_cosine,
         "scored_pairs_full": q_scored_pairs_full,
         "match_edges": q_match_edges,
         "entity_clusters": q_entity_clusters,
@@ -942,7 +954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "token_tfidf": q_token_tfidf,
-        "token_tfidf_ref": q_token_tfidf_ref,
         "token_keyphraseness": q_token_keyphraseness,
         "milne_witten_relatedness": q_milne_witten,
         "pair_tfidf_cosine": q_pair_tfidf_cosine,
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "normalize": q_normalize,
+        "token_tfidf_ref": q_token_tfidf_ref,
         "blocks_first_token": q_first_token_blocks,
         "blocks_token": q_token_blocks,
         "cluster_members": q_cluster_members,
@@ -1054,6 +1066,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a_key, b_key, "
             f"round({S.jaro_winkler_sql('a_norm', 'b_norm')}, 6) AS jw "
             "FROM features",
+            CFG,
+        ),
+        "pair_embedding_cosine": ORACLE.stage_sql(
+            S.pair_embedding_cosine_sql(
+                "SELECT a_key, b_key FROM pairs", "SELECT * FROM records"
+            ),
             CFG,
         ),
         "scored_pairs_full": (

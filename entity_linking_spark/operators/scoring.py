@@ -336,3 +336,74 @@ def scored_pairs_full_sql(
              (SELECT count(*) FROM ({capped_rel})) AS tot_mem
     ) t
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding-similarity pair feature (north_star scorer feature #4)
+# ---------------------------------------------------------------------------
+
+
+def pair_embedding_cosine(
+    pairs: DataFrame,
+    records: DataFrame,
+    dim: int | None = None,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(a_key, b_key, emb_cos): cosine between the turns' feature-hashed
+    token embeddings (`functions/embed.py`; a real encoder's
+    `array<float>` column drops into the same join unchanged).
+
+    Plan shape: embeddings are a pure expression over `records` (no
+    shuffle), so this is exactly the two key-joins `pair_features` already
+    pays — the cosine itself is a fixed-width `zip_with`/`aggregate` fold
+    inside codegen. Zero-norm sides (empty texts) score 0.0."""
+    from ..functions.embed import EMB_DIM, hashed_embedding_col
+    from .simsearch import dot_col, norm_col
+
+    dim = dim or EMB_DIM
+    embs = records.select(
+        "rec_key",
+        hashed_embedding_col(F.col("tokens"), dim, hash_mode).alias("emb"),
+    )
+    ea = embs.select(F.col("rec_key").alias("a_key"), F.col("emb").alias("a_emb"))
+    eb = embs.select(F.col("rec_key").alias("b_key"), F.col("emb").alias("b_emb"))
+    na = norm_col(F.col("a_emb"), dim)
+    nb = norm_col(F.col("b_emb"), dim)
+    return (
+        pairs.join(ea, "a_key")
+        .join(eb, "b_key")
+        .select(
+            "a_key",
+            "b_key",
+            F.when(
+                na * nb > 0,
+                F.round(dot_col(F.col("a_emb"), F.col("b_emb"), dim) / (na * nb), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("emb_cos"),
+        )
+    )
+
+
+def pair_embedding_cosine_sql(
+    pairs_rel: str, records_rel: str, dim: int | None = None
+) -> str:
+    from ..functions.embed import EMB_DIM, hashed_embedding_sql
+    from .simsearch import dot_sql, norm_sql
+
+    dim = dim or EMB_DIM
+    embs = (
+        f"SELECT rec_key, {hashed_embedding_sql('tokens', dim)} AS emb "
+        f"FROM ({records_rel})"
+    )
+    na = norm_sql("ea.emb", dim)
+    nb = norm_sql("eb.emb", dim)
+    return f"""
+    SELECT p.a_key, p.b_key,
+           CASE WHEN {na} * {nb} > 0
+                THEN round({dot_sql('ea.emb', 'eb.emb', dim)} / ({na} * {nb}), 6)
+                ELSE 0.0 END AS emb_cos
+    FROM ({pairs_rel}) p
+    JOIN ({embs}) ea ON p.a_key = ea.rec_key
+    JOIN ({embs}) eb ON p.b_key = eb.rec_key
+    """
