@@ -60,12 +60,53 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", default=None, help="checkpoint dir for stage commits/resume")
     ap.add_argument("--block-cap", type=int, default=None)
     ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="run the Structured Streaming incremental-linking driver over "
+        "--input (a directory where transcript parquet files land); state "
+        "goes to --output, streaming offsets to --checkpoint",
+    )
+    ap.add_argument(
+        "--follow",
+        action="store_true",
+        help="with --stream: keep running for new files instead of "
+        "draining what's available and exiting",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("entity-linking-pipeline", master=args.master)
     cfg = LinkingConfig()
     if args.block_cap:
         cfg.block_cap = args.block_cap
+
+    if args.stream:
+        if not (args.output and args.checkpoint):
+            ap.error("--stream requires --output (state dir) and --checkpoint")
+        from .streaming.incremental_stream import run_incremental_stream
+
+        query, state = run_incremental_stream(
+            spark,
+            args.input,
+            state_dir=args.output,
+            checkpoint_dir=args.checkpoint,
+            cfg=cfg,
+            available_now=not args.follow,
+        )
+        query.awaitTermination()
+        v = state.version()
+        clusters = state.load("clusters")
+        print(
+            json.dumps(
+                {
+                    "state_version": v,
+                    "clusters_rows": 0 if clusters is None else clusters.count(),
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
     pipe = LinkingPipeline(spark, cfg, checkpoint_dir=args.checkpoint)
     out = pipe.run(_load_transcripts(spark, args.input))
     clusters = out["clusters"]
