@@ -513,6 +513,10 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard(spark, sf_dir):
+    return D.jaccard_neardup_pairs(_doc_records(spark, sf_dir))
+
+
 def q_doc_fingerprints(spark, sf_dir):
     return D.doc_fingerprints(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
 
@@ -948,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -969,13 +974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_topk": q_events_user_topk,
         "events_hopping": q_events_hopping,
         "events_rollup": q_events_rollup,
-        "events_value_stats": q_events_value_stats,
         # — general relational analytics (TPC-H-style join/agg breadth) —
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3,
         "tpch_q5_local_volume": q_tpch_q5,
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
+        "events_value_stats": q_events_value_stats,
         "normalize": q_normalize,
         "token_tfidf_ref": q_token_tfidf_ref,
         "blocks_first_token": q_first_token_blocks,
@@ -1351,6 +1356,7 @@ def _training_data_oracles() -> dict[str, str]:
         "quality_filter": TA.quality_filter_sql(_DOCS_REL),
         "dedup_exact": f"{with_recs} {D.exact_dedup_sql(recs)}",
         "dedup_minhash": f"{with_recs} {D.minhash_neardup_pairs_sql(recs)}",
+        "dedup_jaccard": f"{with_recs} {D.jaccard_neardup_pairs_sql(recs)}",
         "simhash_signatures": f"{with_recs} {D.simhash_signatures_sql(recs)}",
         "dedup_simhash": (
             f"{with_recs}, sigs AS ({D.simhash_signatures_sql(recs)}) "

@@ -192,6 +192,111 @@ def minhash_neardup_pairs_sql(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram-Jaccard near-dup via prefix filtering (all-pairs / PPJoin
+# candidate generation; Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_neardup_pairs(
+    records: DataFrame,
+    ngram: int = 3,
+    num: int = NEARDUP_NUM,
+    den: int = NEARDUP_DEN,
+    block_cap: int = P.DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """Exact word-n-gram-Jaccard near-dup pairs (J >= num/den) generated by
+    PREFIX FILTERING, the deterministic alternative to MinHash-LSH: if
+    J(x, y) >= t, then the first `|x| - ceil(t*|x|) + 1` elements of x
+    under any global total order must share an element with y's prefix —
+    so joining on prefix grams only loses nothing (Bayardo WWW'07 Lemma 1)
+    while probing each record into O(0.2*|x|) buckets instead of all |x|.
+
+    The global order is (document frequency ASC, gram ASC): prefixes are
+    each record's RAREST grams, so the self-join buckets are small by
+    construction — the frequency ordering is itself the skew guard, with
+    the shared block cap as the backstop for adversarial corpora. Compare
+    `minhash_neardup_pairs`: LSH is probabilistic recall at fixed cost;
+    prefix filtering is exact recall at data-dependent cost. Both verify
+    with the identical integer-exact Jaccard test, so the two operators
+    agree on every pair both generate.
+
+    Scale shape: one groupBy(gram) with map-side partial aggregation for
+    the df counts, one per-record window (bounded by grams-per-doc, never
+    by corpus size) to rank grams, then the capped block-local self-join
+    shared with every other blocking path. Output: (a_id, b_id, inter, uni).
+    """
+    grams = records.select(
+        F.col("doc_key").alias("rec_key"),
+        F.array_distinct(Tk.word_ngrams_col(F.col("tokens"), ngram)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    tok = grams.select(
+        "rec_key", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    dfc = tok.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("rec_key").orderBy("gdf", "gram")
+    prefix = (
+        tok.join(dfc, "gram")
+        .withColumn("rk", F.row_number().over(w))
+        # prefix length = sz - ceil(sz*num/den) + 1, integer-exact
+        .filter(F.col("rk") <= F.expr(f"sz - ((sz * {num} + {den - 1}) DIV {den}) + 1"))
+        .select("rec_key", F.col("gram").alias("block_key"))
+    )
+    cand = P.block_pairs(prefix, block_cap)
+    ga = grams.select(F.col("rec_key").alias("a_key"), F.col("grams").alias("a_g"))
+    gb = grams.select(F.col("rec_key").alias("b_key"), F.col("grams").alias("b_g"))
+    return (
+        cand.join(ga, "a_key")
+        .join(gb, "b_key")
+        .select(
+            F.col("a_key").cast("long").alias("a_id"),
+            F.col("b_key").cast("long").alias("b_id"),
+            F.size(F.array_intersect("a_g", "b_g")).alias("inter"),
+            F.size(F.array_union("a_g", "b_g")).alias("uni"),
+        )
+        .filter((F.col("uni") > 0) & (F.col("inter") * den >= F.col("uni") * num))
+    )
+
+
+def jaccard_neardup_pairs_sql(
+    records_rel: str,
+    ngram: int = 3,
+    num: int = NEARDUP_NUM,
+    den: int = NEARDUP_DEN,
+    block_cap: int = P.DEFAULT_BLOCK_CAP,
+) -> str:
+    grams = (
+        f"SELECT rec_key, list_distinct(grams) AS grams FROM ("
+        f"SELECT doc_key AS rec_key, {Tk.word_ngrams_sql('tokens', ngram)} AS grams"
+        f" FROM ({records_rel})) WHERE len(list_distinct(grams)) > 0"
+    )
+    tok = (
+        f"SELECT rec_key, len(grams) AS sz, unnest(grams) AS gram FROM ({grams})"
+    )
+    prefix = f"""
+    SELECT rec_key, gram AS block_key FROM (
+      SELECT t.rec_key, t.gram, t.sz,
+             row_number() OVER (PARTITION BY t.rec_key ORDER BY d.gdf, t.gram) AS rk
+      FROM ({tok}) t
+      JOIN (SELECT gram, count(*) AS gdf FROM ({tok}) GROUP BY gram) d USING (gram)
+    ) WHERE rk <= sz - ((sz * {num} + {den - 1}) // {den}) + 1
+    """
+    cand = P.block_pairs_sql(prefix, block_cap)
+    return f"""
+    SELECT CAST(c.a_key AS BIGINT) AS a_id, CAST(c.b_key AS BIGINT) AS b_id,
+           len(list_intersect(ga.grams, gb.grams)) AS inter,
+           len(list_distinct(list_concat(ga.grams, gb.grams))) AS uni
+    FROM ({cand}) c
+    JOIN ({grams}) ga ON c.a_key = ga.rec_key
+    JOIN ({grams}) gb ON c.b_key = gb.rec_key
+    WHERE len(list_distinct(list_concat(ga.grams, gb.grams))) > 0
+      AND len(list_intersect(ga.grams, gb.grams)) * {den}
+          >= len(list_distinct(list_concat(ga.grams, gb.grams))) * {num}
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,24 @@ def test_minhash_neardup_finds_near_and_skips_distinct(doc_recs):
     assert not any(3 in p for p in pairs)  # distinct doc never pairs
 
 
+def test_jaccard_prefix_filter_exact_recall(doc_recs):
+    pairs = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["uni"])
+        for r in D.jaccard_neardup_pairs(doc_recs).collect()
+    }
+    # exact dup: J = 1
+    assert (0, 1) in pairs and pairs[(0, 1)][0] == pairs[(0, 1)][1]
+    # one-token change in 13 alters exactly one 3-gram: J = 10/12 >= 0.8
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)  # distinct doc never pairs
+    # prefix filtering has exact recall: every LSH-found pair (a lossy
+    # generator verified at the same threshold) must also be found here
+    mh = {
+        (r["a_id"], r["b_id"]) for r in D.minhash_neardup_pairs(doc_recs).collect()
+    }
+    assert mh <= set(pairs)
+
+
 def test_simhash_identical_docs_zero_hamming(doc_recs):
     sigs = D.simhash_signatures(doc_recs)
     pairs = {
