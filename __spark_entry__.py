@@ -27,6 +27,7 @@ from entity_linking_spark.operators import blocking as B
 from entity_linking_spark.operators import calibration as CAL
 from entity_linking_spark.operators import clustering as C
 from entity_linking_spark.operators import incremental as INC
+from entity_linking_spark.operators import conversations as CONV
 from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
 from entity_linking_spark.operators import evaluation as EVAL
@@ -476,6 +477,29 @@ def _turn_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_stats(spark, sf_dir):
+    """Conversation-grain profile: one partial-agg'd groupBy on conv_id."""
+    return CONV.conversation_stats(_transcripts(spark, sf_dir))
+
+
+def q_degenerate_conversations(spark, sf_dir):
+    """Curation filter: single-turn fragments / runaway agent loops."""
+    return CONV.degenerate_conversations(_transcripts(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition (dup n-gram ratio, top share)."""
+    return TA.repetition_stats(_doc_records(spark, sf_dir))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span candidates (Lee et al. 2022) over
+    the sampled rolling fingerprints."""
+    return D.duplicated_spans(
+        D.doc_fingerprints(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return TA.doc_text_stats(_docs(spark, sf_dir))
 
@@ -870,6 +894,24 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q18(spark, sf_dir):
+    """Q18 large-order semi-join: HAVING agg over the fact first, tiny
+    survivor set joined back (AQE broadcast)."""
+    return REL.q18_large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_conv_neardup(spark, sf_dir):
+    """Whole-conversation near-dup: the document MinHash-LSH family run
+    unchanged at the conversation grain (turn texts re-rolled per conv)."""
+    return D.minhash_neardup_pairs(
+        CONV.conversation_records(_records(spark, sf_dir)), hash_mode=CFG.hash_mode
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(load_table(spark, sf_dir, "events"))
 
@@ -929,9 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_filter": q_role_filter,
         "positional_index": q_positional_index,
         "record_degree": q_record_degree,
+        "conversation_stats": q_conversation_stats,
         "alias_dictionary": q_alias_dictionary,
         "dict_blocks": q_dict_blocks,
-        "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
         "salted_blocks": q_salted_blocks,
         "minhash_signatures": q_minhash_signatures,
         "lsh_blocks": q_lsh_blocks,
@@ -949,13 +991,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — training-data pipeline family —
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
+        "repetition_stats": q_repetition_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "token_tfidf": q_token_tfidf,
@@ -980,6 +1022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": q_tpch_q5,
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
+        "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "ann_lsh": q_ann_lsh,
+        "degenerate_conversations": q_degenerate_conversations,
+        "dup_spans": q_dup_spans,
         "events_value_stats": q_events_value_stats,
         "normalize": q_normalize,
         "token_tfidf_ref": q_token_tfidf_ref,
@@ -999,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_json_props": q_events_json_props,
         "tpch_q14_promo": q_tpch_q14,
+        "tpch_q18_large_orders": q_tpch_q18,
+        "conv_neardup": q_conv_neardup,
     }
 
 
@@ -1020,6 +1068,13 @@ def oracle_sql() -> dict[str, str]:
         "role_filter": (
             f"SELECT conv_id, turn_idx, role, text FROM ({tsql}) "
             "WHERE role IN ('user', 'assistant') AND trim(text) <> ''"
+        ),
+        "conversation_stats": CONV.conversation_stats_sql(tsql),
+        "degenerate_conversations": CONV.degenerate_conversations_sql(tsql),
+        "conv_neardup": (
+            f"WITH recs AS ({recs}), "
+            f"convs AS ({CONV.conversation_records_sql('SELECT * FROM recs')}) "
+            + D.minhash_neardup_pairs_sql("SELECT * FROM convs")
         ),
         "positional_index": (
             f"SELECT rec_key, row_number() OVER (ORDER BY rec_key) AS pos "
@@ -1363,6 +1418,11 @@ def _training_data_oracles() -> dict[str, str]:
             + D.simhash_neardup_pairs_sql("SELECT * FROM sigs")
         ),
         "doc_fingerprints": f"{with_recs} {D.doc_fingerprints_sql(recs)}",
+        "dup_spans": (
+            f"{with_recs}, fps AS ({D.doc_fingerprints_sql(recs)}) "
+            + D.duplicated_spans_sql("SELECT * FROM fps")
+        ),
+        "repetition_stats": f"{with_recs} {TA.repetition_stats_sql(recs)}",
         "embed_signatures": SS.hyperplane_signatures_sql(_EMB_REL),
         "ann_bruteforce": SS.ann_bruteforce_topk_sql(_EMB_REL),
         "ann_lsh": SS.ann_lsh_topk_sql(_EMB_REL),
@@ -1406,6 +1466,9 @@ def _training_data_oracles() -> dict[str, str]:
         ),
         "tpch_q14_promo": REL.q14_promo_revenue_sql(
             "SELECT * FROM part", "SELECT * FROM lineitem"
+        ),
+        "tpch_q18_large_orders": REL.q18_large_orders_sql(
+            "SELECT * FROM customer", "SELECT * FROM orders", "SELECT * FROM lineitem"
         ),
         "tpch_q5_local_volume": REL.q5_local_supplier_volume_sql(
             "SELECT * FROM region",

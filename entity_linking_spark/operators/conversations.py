@@ -1,0 +1,149 @@
+"""Conversation-level transcript analytics.
+
+The engine's primary payload is multi-turn transcripts (conv_id, turn_idx,
+role, text, tool, ts). Before any linking runs, a production pipeline
+profiles the corpus at the conversation grain: turn counts per role, tool
+usage, wall-clock span, text volume. These aggregates also drive data
+curation (drop degenerate single-turn conversations, cap runaway agent
+loops) and the per-partition counter metrics the north rule requires.
+
+Scale shape: ONE groupBy on the table's natural key (conv_id). Every
+aggregate here has a partial (map-side combine) form, so the shuffle
+carries one row per conversation per input partition — at 10^12 turns the
+shuffle volume is the number of conversations, not turns. No joins, no
+windows, no UDFs; timestamps are compared in exact integer microseconds
+(`unix_micros` / DuckDB `epoch_us`) so the oracle hash is
+rounding-mode-independent.
+
+Reference analog: the per-document counters the reference accumulates in
+its Hadoop jobs (`/root/reference/src/baseline/BaselinePipeline.java`
+counter reporting); re-expressed as a first-class relational aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_user_turns, n_assistant_turns, n_tool_calls,
+    n_roles, first_ts, last_ts, duration_us, total_chars): one row per
+    conversation.
+
+    `n_tool_calls` counts turns with a non-null tool column (the agent
+    action count); `duration_us` is the exact integer-microsecond span
+    between the first and last turn timestamp."""
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "n_assistant_turns"
+        ),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_calls"),
+        # size(collect_set) instead of count(DISTINCT): a distinct
+        # aggregate would re-plan the whole agg as two exchange rounds;
+        # the set union partial-aggregates map-side (role cardinality is
+        # tiny) and keeps the single-shuffle contract below.
+        F.size(F.collect_set("role")).cast("long").alias("n_roles"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (us(F.max("ts")) - us(F.min("ts"))).alias("duration_us"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+def conversation_stats_sql(transcripts_rel: str) -> str:
+    """DuckDB twin. Integer aggregates are cast to BIGINT (DuckDB sums
+    integers into HUGEINT, which would diverge from Spark's long)."""
+    return f"""
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns,
+           CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+           CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM ({transcripts_rel})
+    GROUP BY conv_id
+    """
+
+
+def conversation_records(records: DataFrame) -> DataFrame:
+    """(doc_key, norm_text, tokens): conversation-grain records — the
+    prepared turn records re-rolled to one row per conversation, turn
+    texts joined in turn order. This is the input shape
+    `dedup.minhash_neardup_pairs` takes, so the whole document-level
+    near-dup family runs unchanged at the conversation grain (dedup of
+    whole sessions — repeated agent runs, retried jobs, mirrored logs).
+
+    doc_key is the zero-padded numeric suffix of conv_id (castable to
+    long, lexicographic == numeric — the engine's sortable-key
+    convention). Determinism: collect_list is order-free, so the struct
+    array is sorted on turn_idx before joining; the DuckDB twin uses
+    `string_agg(... ORDER BY turn_idx)`. One partial-agg'd shuffle."""
+    from ..functions import tokenize as Tk
+
+    rolled = records.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "norm_text"))),
+                lambda s: s["norm_text"],
+            ),
+            " ",
+        ).alias("norm_text")
+    )
+    return rolled.select(
+        F.substring(F.col("conv_id"), 6, 12).alias("doc_key"),
+        "norm_text",
+        Tk.tokens_col(F.col("norm_text")).alias("tokens"),
+    )
+
+
+def conversation_records_sql(records_rel: str) -> str:
+    from ..functions import tokenize as Tk
+
+    return f"""
+    SELECT substr(conv_id, 6) AS doc_key, norm_text,
+           {Tk.tokens_sql('norm_text')} AS tokens
+    FROM (
+      SELECT conv_id, string_agg(norm_text, ' ' ORDER BY turn_idx) AS norm_text
+      FROM ({records_rel})
+      GROUP BY conv_id
+    )
+    """
+
+
+def degenerate_conversations(
+    transcripts: DataFrame, min_turns: int = 2, max_turns: int = 512
+) -> DataFrame:
+    """(conv_id, n_turns, reason): conversations a curation pass would
+    drop — single-turn fragments (`too_short`) and runaway agent loops
+    (`too_long`). Composes on the same one-shuffle aggregate."""
+    stats = conversation_stats(transcripts).select("conv_id", "n_turns")
+    return stats.filter(
+        (F.col("n_turns") < min_turns) | (F.col("n_turns") > max_turns)
+    ).select(
+        "conv_id",
+        "n_turns",
+        F.when(F.col("n_turns") < min_turns, F.lit("too_short"))
+        .otherwise(F.lit("too_long"))
+        .alias("reason"),
+    )
+
+
+def degenerate_conversations_sql(
+    transcripts_rel: str, min_turns: int = 2, max_turns: int = 512
+) -> str:
+    return f"""
+    SELECT conv_id, n_turns,
+           CASE WHEN n_turns < {min_turns} THEN 'too_short'
+                ELSE 'too_long' END AS reason
+    FROM (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+          FROM ({transcripts_rel}) GROUP BY conv_id)
+    WHERE n_turns < {min_turns} OR n_turns > {max_turns}
+    """

@@ -468,3 +468,31 @@ def doc_fingerprints_sql(
     )
     WHERE ({h}) % {mod} = 0
     """
+
+
+def duplicated_spans(
+    fingerprints: DataFrame, min_docs: int = 2
+) -> DataFrame:
+    """(fp, n_docs): sampled content fingerprints shared by ≥ `min_docs`
+    distinct documents — the candidate set for exact-substring
+    cross-document dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": duplicated spans are removed, not whole
+    docs). Input is `doc_fingerprints` output, already distinct per
+    (doc_id, fp), so one partial-agg'd groupBy on the hash finds every
+    shared span sample; at 100 TB the shuffle carries (8-byte hash, count)
+    pairs only. A span editor would join this back to the fingerprint
+    table to locate the offending documents."""
+    return (
+        fingerprints.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicated_spans_sql(fingerprints_rel: str, min_docs: int = 2) -> str:
+    return f"""
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ({fingerprints_rel})
+    GROUP BY fp
+    HAVING count(*) >= {min_docs}
+    """

@@ -248,3 +248,63 @@ def q14_promo_revenue_sql(part_rel: str, lineitem_rel: str) -> str:
     JOIN ({part_rel}) p ON l.l_partkey = p.p_partkey
     GROUP BY p_type
     """
+
+
+Q18_QTY = 250  # large-order quantity threshold (data max 458, p99 262)
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, qty: int = Q18_QTY
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds `qty`, with
+    the buying customer. The semi-join pattern a 100 TB plan wants: the
+    HAVING aggregation runs FIRST over the fact table alone (partial
+    agg → one shuffle on l_orderkey, output rows = qualifying orders
+    only — a tiny set), and only that survivor set joins back to orders
+    and customer; AQE turns the survivors' side into a broadcast.
+    Quantities are integer-valued — cast to long before summing so the
+    aggregate is exact."""
+    qty_sum = (
+        lineitem.select(
+            "l_orderkey", F.round(F.col("l_quantity"), 0).cast("long").alias("q")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").alias("total_qty"))
+        .filter(F.col("total_qty") > qty)
+    )
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = customer.select("c_custkey", "c_name")
+    return (
+        qty_sum.join(o, qty_sum["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _cents(F.col("o_totalprice")).alias("totalprice_c"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q18_large_orders_sql(
+    customer_rel: str, orders_rel: str, lineitem_rel: str, qty: int = Q18_QTY
+) -> str:
+    price = _CENTS_SQL.format(x="o_totalprice")
+    return f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           {price} AS totalprice_c, total_qty
+    FROM (
+      SELECT l_orderkey, CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM ({lineitem_rel})
+      GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > {qty}
+    ) q
+    JOIN ({orders_rel}) o ON q.l_orderkey = o.o_orderkey
+    JOIN ({customer_rel}) c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice_c DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """

@@ -63,3 +63,29 @@ def test_q14_promo_revenue_parity(spark, duck, sf_dir):
     # promo share only accrues to the PROMO type rows
     assert rows["PROMO"]["promo_rev_c2"] == rows["PROMO"]["total_rev_c2"]
     assert all(r["promo_rev_c2"] == 0 for t, r in rows.items() if t != "PROMO")
+
+
+def test_q18_large_orders_parity_and_plan(spark, duck, sf_dir):
+    df = REL.q18_large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    assert_spark_matches_duck(
+        df,
+        duck,
+        REL.q18_large_orders_sql(
+            "SELECT * FROM customer", "SELECT * FROM orders", "SELECT * FROM lineitem"
+        ),
+    )
+    rows = df.collect()
+    assert all(r["total_qty"] > REL.Q18_QTY for r in rows)
+    # semi-join shape: the quantity aggregate runs over lineitem alone
+    # (partial agg below any join), never on the joined row stream
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("partial_sum")
+    first_join = min(
+        p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"))
+        if p >= 0
+    )
+    assert agg_pos > first_join, "quantity agg should be below (after in text) the joins"

@@ -305,3 +305,51 @@ def test_frame_sample_only_video(docs):
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM._decode_real(b"bytes", "image")
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate metrics (Gopher rules)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_hand_checked(spark):
+    # doc 0: "a b a b a b" → 2-grams [ab, ba, ab, ba, ab]: total 5,
+    # distinct 2 → dup_ratio .6; top ("a b") 3/5 = .6
+    # doc 1: all-distinct tokens → zero repetition
+    # doc 2: single token → no 2-grams at all, ratios coalesce to 0
+    rows = [(0, "a b a b a b"), (1, "p q r s t"), (2, "solo")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("source", F.lit("s")).withColumn("lang", F.lit("en"))
+    recs = D.doc_records(docs)
+    out = {r["doc_id"]: r for r in TA.repetition_stats(recs).collect()}
+    assert out[0]["n_grams_2"] == 5
+    assert out[0]["dup_ratio_2"] == pytest.approx(0.6)
+    assert out[0]["top_share_2"] == pytest.approx(0.6)
+    assert out[0]["dup_ratio_3"] == pytest.approx(0.5)  # 4 grams, 2 distinct
+    assert out[1]["dup_ratio_2"] == 0.0 and out[1]["top_share_2"] == pytest.approx(0.25)
+    assert out[2]["n_grams_2"] == 0 and out[2]["dup_ratio_2"] == 0.0
+
+
+def test_duplicated_spans_finds_shared_region(spark):
+    # mod=1 keeps every shingle: two docs sharing a 40+ char region must
+    # share fingerprints; the third (disjoint) doc must contribute none
+    shared = "identical boilerplate license header text appears here"
+    rows = [
+        (0, shared + " tail zero"),
+        (1, shared + " different continuation"),
+        (2, "entirely unrelated content with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("source", F.lit("s")).withColumn("lang", F.lit("en"))
+    fps = D.doc_fingerprints(D.doc_records(docs), mod=1)
+    spans = D.duplicated_spans(fps).collect()
+    assert len(spans) > 0 and all(r["n_docs"] == 2 for r in spans)
+    # every duplicated fp belongs to docs {0,1}, never doc 2
+    dup_fps = {r["fp"] for r in spans}
+    owners = (
+        fps.filter(F.col("fp").isin(list(dup_fps)))
+        .select("doc_id").distinct().collect()
+    )
+    assert {r["doc_id"] for r in owners} == {0, 1}
