@@ -85,7 +85,14 @@ def conversation_records(records: DataFrame) -> DataFrame:
     long, lexicographic == numeric — the engine's sortable-key
     convention). Determinism: collect_list is order-free, so the struct
     array is sorted on turn_idx before joining; the DuckDB twin uses
-    `string_agg(... ORDER BY turn_idx)`. One partial-agg'd shuffle."""
+    `string_agg(... ORDER BY turn_idx)`. One partial-agg'd shuffle.
+
+    Scale note: the roll-up materializes one conversation per row — the
+    same cell size as any document-grain operator, EXCEPT for runaway
+    sessions (millions of turns), which would balloon a single row.
+    At 10^12-turn scale, filter `degenerate_conversations(...,
+    max_turns=...)` out BEFORE rolling up; the curation filter exists
+    precisely to bound this cell."""
     from ..functions import tokenize as Tk
 
     rolled = records.groupBy("conv_id").agg(
