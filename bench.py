@@ -120,10 +120,20 @@ def main() -> None:
                     n_turns = n
     timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     total = round(sum(cold[n] for n in names), 3)
+    # median headline total: per-pass chain totals, median across passes —
+    # robust to a steal spike landing on pass 1 (observed poisoning the
+    # cold `value` 3-5x while the other passes were clean)
+    total_median = round(
+        statistics.median(
+            [sum(runs[n][i] for n in names) for i in range(n_runs)]
+        ),
+        3,
+    )
     flag = cold.get("entity_clusters", 0.0) or 1e-9
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
+        "value_median": total_median,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
@@ -132,6 +142,9 @@ def main() -> None:
         "cpus": int(CPUS),
         "turns": n_turns,
         "turns_per_sec_flagship": round(n_turns / flag, 1),
+        "turns_per_sec_flagship_median": round(
+            n_turns / (timings.get("entity_clusters", 0.0) or 1e-9), 1
+        ),
     }
     spark.stop()
 
