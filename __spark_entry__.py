@@ -541,6 +541,14 @@ def q_dedup_jaccard(spark, sf_dir):
     return D.jaccard_neardup_pairs(_doc_records(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs closed into keeper/drop-list groups via the same
+    large-star/small-star CC as the linking pipeline."""
+    return D.dedup_clusters(
+        _doc_records(spark, sf_dir), _doc_neardup_pairs(spark, sf_dir)
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     return D.doc_fingerprints(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
 
@@ -1026,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "degenerate_conversations": q_degenerate_conversations,
         "dup_spans": q_dup_spans,
+        "dedup_clusters": q_dedup_clusters,
         "events_value_stats": q_events_value_stats,
         "normalize": q_normalize,
         "token_tfidf_ref": q_token_tfidf_ref,
@@ -1421,6 +1430,10 @@ def _training_data_oracles() -> dict[str, str]:
         "dup_spans": (
             f"{with_recs}, fps AS ({D.doc_fingerprints_sql(recs)}) "
             + D.duplicated_spans_sql("SELECT * FROM fps")
+        ),
+        "dedup_clusters": (
+            f"{with_recs}, nd_pairs AS ({D.minhash_neardup_pairs_sql(recs)}) "
+            + D.dedup_clusters_sql(recs, "SELECT * FROM nd_pairs")
         ),
         "repetition_stats": f"{with_recs} {TA.repetition_stats_sql(recs)}",
         "embed_signatures": SS.hyperplane_signatures_sql(_EMB_REL),

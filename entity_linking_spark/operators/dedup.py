@@ -496,3 +496,42 @@ def duplicated_spans_sql(fingerprints_rel: str, min_docs: int = 2) -> str:
     GROUP BY fp
     HAVING count(*) >= {min_docs}
     """
+
+
+def dedup_clusters(
+    records: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, keeper_id, is_dup): the output a curation pipeline
+    actually consumes — near-dup pairs closed transitively into groups
+    (the same large-star/small-star connected components as the linking
+    pipeline, `operators/clustering.py`), keeper = min doc_id of the
+    group, every other member flagged `is_dup` for dropping. Singletons
+    keep themselves. Composes with any pair generator in this module
+    (minhash / simhash / jaccard / embedding)."""
+    from . import clustering as C
+
+    edges = pairs.select(
+        F.col("a_id").alias("a_key"), F.col("b_id").alias("b_key")
+    )
+    recs = records.select(F.col("doc_id").alias("rec_key"))
+    cl = C.clusters_with_singletons(recs, edges, max_iter=max_iter)
+    # is_dup as 0/1 long (not boolean): the oracle hash stringifies
+    # values, and an integer renders identically in every engine
+    return cl.select(
+        F.col("rec_key").alias("doc_id"),
+        F.col("cluster_id").alias("keeper_id"),
+        (F.col("rec_key") != F.col("cluster_id")).cast("long").alias("is_dup"),
+    )
+
+
+def dedup_clusters_sql(records_rel: str, pairs_rel: str) -> str:
+    from .clustering import clusters_sql
+
+    recs = f"SELECT doc_id AS rec_key FROM ({records_rel})"
+    edges = f"SELECT a_id AS a_key, b_id AS b_key FROM ({pairs_rel})"
+    inner = clusters_sql(recs, edges)
+    return f"""
+    SELECT rec_key AS doc_id, cluster_id AS keeper_id,
+           CAST(rec_key <> cluster_id AS BIGINT) AS is_dup
+    FROM ({inner})
+    """

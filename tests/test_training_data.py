@@ -353,3 +353,16 @@ def test_duplicated_spans_finds_shared_region(spark):
         .select("doc_id").distinct().collect()
     )
     assert {r["doc_id"] for r in owners} == {0, 1}
+
+
+def test_dedup_clusters_keeper_and_droplist(doc_recs):
+    # docs 0/1 exact dups, 2 near-dup of 0 → transitive group {0,1,2},
+    # keeper 0; docs 3/4/5 singletons keeping themselves
+    pairs = D.minhash_neardup_pairs(doc_recs)
+    out = {r["doc_id"]: r for r in D.dedup_clusters(doc_recs, pairs).collect()}
+    assert len(out) == 6
+    assert {d for d, r in out.items() if r["keeper_id"] == 0} == {0, 1, 2}
+    assert out[0]["is_dup"] == 0
+    assert out[1]["is_dup"] == 1 and out[2]["is_dup"] == 1
+    for d in (3, 4, 5):
+        assert out[d]["keeper_id"] == d and out[d]["is_dup"] == 0
