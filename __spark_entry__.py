@@ -27,6 +27,7 @@ from entity_linking_spark.operators import blocking as B
 from entity_linking_spark.operators import calibration as CAL
 from entity_linking_spark.operators import clustering as C
 from entity_linking_spark.operators import incremental as INC
+from entity_linking_spark.operators import asof as ASOF
 from entity_linking_spark.operators import conversations as CONV
 from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
@@ -920,6 +921,23 @@ def q_conv_neardup(spark, sf_dir):
     )
 
 
+def q_events_asof_orders(spark, sf_dir):
+    """As-of join: each event picks the customer's most recent order at
+    or before the event time — union + running-last window (one shuffle,
+    no range-join pair blow-up)."""
+    return ASOF.asof_join(
+        load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts"),
+        load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "user_id"
+        ),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(load_table(spark, sf_dir, "events"))
 
@@ -1056,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": q_tpch_q14,
         "tpch_q18_large_orders": q_tpch_q18,
         "conv_neardup": q_conv_neardup,
+        "events_asof_orders": q_events_asof_orders,
     }
 
 
@@ -1466,6 +1485,16 @@ def _training_data_oracles() -> dict[str, str]:
         "loopy_bp_full": _loopy_bp_full_oracle(),
         "loopy_bp_maxent": _loopy_bp_maxent_oracle(),
         "loopy_bp_solution": _loopy_bp_oracle(solution=True),
+        "events_asof_orders": ASOF.asof_join_sql(
+            "SELECT event_id, user_id, ts FROM events",
+            "SELECT o_custkey AS user_id, o_orderdate, o_orderkey FROM orders",
+            key="user_id",
+            left_ts="ts",
+            right_ts="o_orderdate",
+            value_cols=["o_orderkey", "o_orderdate"],
+            tiebreak="o_orderkey",
+            left_cols=["event_id", "user_id", "ts"],
+        ),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
         "events_json_props": EV.json_props_sql("SELECT * FROM events"),
