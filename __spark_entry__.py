@@ -1004,6 +1004,46 @@ def q_hll_distinct_total(spark, sf_dir):
     return SK.hll_estimate(SK.merge_registers(regs, []), [])
 
 
+def q_cms_token_counts(spark, sf_dir):
+    """Count-Min sketch over the document token stream, validated by
+    probing every distinct token: d×w bounded counters instead of a
+    per-key shuffle; exact_count alongside demonstrates the
+    never-undercount guarantee (`operators/sketches.py`)."""
+    toks = _doc_records(spark, sf_dir).select(F.explode("tokens").alias("token"))
+    counters = SK.cms_counters(toks, "token", [], hash_mode=CFG.hash_mode)
+    probes = toks.select("token").distinct()
+    est = SK.cms_lookup(counters, probes, "token", [], hash_mode=CFG.hash_mode)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "token").select("token", "exact_count", "cms_count")
+
+
+def q_bloom_prune_orders(spark, sf_dir):
+    """Bloom-filter semi-join pruning audit: build a 16384-bit filter
+    from one nation's customers, probe every order WITHOUT shuffling the
+    fact (broadcast word-map + map-side bit tests), and report pass /
+    exact / false-positive counts (`operators/sketches.py`)."""
+    cust = load_table(spark, sf_dir, "customer").filter("c_nationkey = 3")
+    orders = load_table(spark, sf_dir, "orders")
+    bloom = SK.bloom_build(cust, "c_custkey", hash_mode=CFG.hash_mode)
+    probed = SK.bloom_probe(
+        orders.select("o_orderkey", "o_custkey"), bloom, "o_custkey",
+        hash_mode=CFG.hash_mode,
+    )
+    member = probed.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("_mk")).distinct()),
+        probed["o_custkey"] == F.col("_mk"),
+        "left",
+    ).withColumn("_is_member", F.col("_mk").isNotNull())
+    return member.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_pass"),
+        F.sum(F.col("_is_member").cast("long")).alias("n_exact"),
+        F.sum(
+            (F.col("might_contain") & ~F.col("_is_member")).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
 _SPLITS = [("train", 8000), ("val", 1000), ("test", 1000)]
 
 
@@ -1094,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample": q_docs_sample,
         "docs_split": q_docs_split,
         "docs_stratified_cap": q_docs_stratified_cap,
+        "cms_token_counts": q_cms_token_counts,
+        "bloom_prune_orders": q_bloom_prune_orders,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -1104,9 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # — graph walks + belief propagation —
         "pagerank": q_pagerank,
-        "pagerank_priors": q_pagerank_priors,
         "pagerank_weighted": q_pagerank_weighted,
-        "loopy_bp": q_loopy_bp,
         "loopy_bp_full": q_loopy_bp_full,
         # — event analytics —
         "events_sessionize": q_events_sessionize,
@@ -1118,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "pagerank_priors": q_pagerank_priors,
+        "loopy_bp": q_loopy_bp,
         "pair_embedding_cosine": q_pair_embedding_cosine,
         "events_rollup": q_events_rollup,
         "tpch_q5_local_volume": q_tpch_q5,
@@ -1592,6 +1634,17 @@ def _training_data_oracles() -> dict[str, str]:
         + ")",
         "docs_stratified_cap": SMP.stratified_cap_sql(
             _DOCS_REL, ["source"], "doc_id", 20, out_cols=["doc_id", "source"]
+        ),
+        "cms_token_counts": SK.cms_token_counts_sql(
+            "SELECT unnest(tokens) AS token FROM ("
+            + D.doc_records_sql(_DOCS_REL)
+            + ")"
+        ),
+        "bloom_prune_orders": SK.bloom_semijoin_audit_sql(
+            "SELECT o_orderkey, o_custkey FROM orders",
+            "o_custkey",
+            "SELECT * FROM customer WHERE c_nationkey = 3",
+            "c_custkey",
         ),
         "events_sessionize": EV.sessionize_sql("SELECT * FROM events"),
         "events_tumbling": EV.tumbling_counts_sql("SELECT * FROM events"),

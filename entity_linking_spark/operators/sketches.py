@@ -140,6 +140,241 @@ def hll_distinct(
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch — frequency estimation in d×w bounded integer state
+# ---------------------------------------------------------------------------
+#
+# Cormode-Muthukrishnan, "An improved data stream summary: the count-min
+# sketch and its applications" (J. Algorithms 2005). Exact per-key counts
+# over 10^12 rows shuffle every distinct key; a CMS keeps d×w int64
+# counters per group — SUM is the combiner, so map-side partial
+# aggregation collapses each partition to ≤ d×w rows before the shuffle,
+# and counter tables merge across partitions/days by element-wise sum.
+# Estimates never undercount (cms ≥ exact always) and overcount by
+# ≤ 2N/w with prob ≥ 1 - 2^-d. Pure integer arithmetic end to end, so
+# the DuckDB twin is bit-exact.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_CONST = H.perm_constants(CMS_DEPTH, seed=11)
+
+
+def _cms_x(key, hash_mode: str):
+    """31-bit base hash the d universal hash rows are derived from."""
+    if hash_mode == "portable":
+        return H.portable_hash_col(key.cast("string"))
+    return H.fast_hash_col(key.cast("string"))
+
+
+def _cms_buckets(key, hash_mode: str):
+    x = _cms_x(key, hash_mode)
+    return F.array(
+        *[
+            (H.minhash_perm_col(x, a, b) % F.lit(CMS_WIDTH)).cast("int")
+            for a, b in _CMS_CONST
+        ]
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-group CMS counter table: group_cols + (depth, bucket, cnt) —
+    ≤ d×w rows per group regardless of the key cardinality. Merge two
+    counter tables (days, partitions, tables) by summing cnt per
+    (group, depth, bucket)."""
+    exploded = df.select(
+        *[F.col(c) for c in group_cols],
+        F.posexplode(_cms_buckets(F.col(key_col), hash_mode)).alias(
+            "depth", "bucket"
+        ),
+    )
+    return exploded.groupBy(*group_cols, "depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_lookup(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Estimate the count of each probe key: min over the d rows of the
+    counter its buckets hit (absent counter row → 0). One equi-join on
+    (group, depth, bucket) against the bounded counter table — the
+    counter side broadcasts whenever d×w×|groups| is small."""
+    p = probes.select(
+        *[F.col(c) for c in group_cols],
+        F.col(key_col),
+        F.posexplode(_cms_buckets(F.col(key_col), hash_mode)).alias(
+            "depth", "bucket"
+        ),
+    )
+    joined = p.join(
+        F.broadcast(counters), [*group_cols, "depth", "bucket"], "left"
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
+    )
+
+
+def _cms_buckets_sql_terms(x_expr: str) -> list[str]:
+    return [
+        f"({H.minhash_perm_sql(x_expr, a, b)} % {CMS_WIDTH})"
+        for a, b in _CMS_CONST
+    ]
+
+
+def cms_token_counts_sql(tokens_rel: str, token_col: str = "token") -> str:
+    """DuckDB twin of the global (no group) CMS build + self-probe used
+    by the `cms_token_counts` query: every distinct token estimated
+    against the sketch of the full token stream, exact count alongside."""
+    x = f"({H.portable_hash_sql(f'CAST({token_col} AS VARCHAR)')})"
+    arms = " UNION ALL ".join(
+        f"SELECT {token_col}, {i} AS depth, {t} AS bucket FROM toks"
+        for i, t in enumerate(_cms_buckets_sql_terms(x))
+    )
+    return f"""
+    WITH toks AS ({tokens_rel}),
+    hashed AS ({arms}),
+    counters AS (
+      SELECT depth, bucket, count(*)::bigint AS cnt
+      FROM hashed GROUP BY depth, bucket
+    ),
+    probes AS (SELECT DISTINCT {token_col}, depth, bucket FROM hashed),
+    est AS (
+      SELECT p.{token_col}, min(coalesce(c.cnt, 0)) AS cms_count
+      FROM probes p LEFT JOIN counters c
+        ON p.depth = c.depth AND p.bucket = c.bucket
+      GROUP BY p.{token_col}
+    ),
+    exact AS (
+      SELECT {token_col}, count(*)::bigint AS exact_count
+      FROM toks GROUP BY {token_col}
+    )
+    SELECT e.{token_col} AS token, x.exact_count, e.cms_count
+    FROM est e JOIN exact x ON e.{token_col} = x.{token_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — semi-join pruning without shuffling the big side
+# ---------------------------------------------------------------------------
+#
+# Bloom (CACM 1970). The 100 TB use: filter a fact table by key
+# existence in a dim WITHOUT shuffling the fact — build an m-bit filter
+# from the dim (m/32 words via bit_or partial agg; 32 bits per int64 word
+# keeps every shift below the sign bit, which DuckDB's checked << rejects), broadcast it,
+# and probe as a map-side expression. Spark's own InjectRuntimeFilter
+# does this invisibly for some joins; exposing it as an operator makes
+# the pruning explicit, tunable, and reusable across stages (build once,
+# probe many). No false negatives; false-positive rate ≈ (1-e^{-kn/m})^k.
+
+BLOOM_BITS = 1 << 14  # m = 16384 bits = 512 32-bit words (in int64 cells)
+BLOOM_K = 5
+_BLOOM_CONST = H.perm_constants(BLOOM_K, seed=13)
+
+
+def _bloom_positions(key, hash_mode: str):
+    x = _cms_x(key, hash_mode)
+    return F.array(
+        *[
+            (H.minhash_perm_col(x, a, b) % F.lit(BLOOM_BITS)).cast("int")
+            for a, b in _BLOOM_CONST
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, hash_mode: str = "portable"
+) -> DataFrame:
+    """(word_idx, word): the filter as ≤ m/32 rows of OR-ed bit words.
+    bit_or is associative+commutative → map-side partial agg; the result
+    is tiny and broadcast by `bloom_probe`."""
+    bits = df.select(
+        F.explode(_bloom_positions(F.col(key_col), hash_mode)).alias("pos")
+    )
+    words = bits.select(
+        (F.col("pos") / F.lit(32)).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").alias("w"),
+    )
+    return words.groupBy("word_idx").agg(F.expr("bit_or(w)").alias("word"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    hash_mode: str = "portable",
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """df + a boolean `might_contain` column, ZERO shuffle on df: the
+    word table collapses to a single-row int→word map, broadcast-joined
+    in (1-row nested loop), and the k bit tests run as a map-side
+    expression over each row's position array. The fact side is never
+    exploded, grouped, or re-partitioned — this is the runtime-filter
+    shape (probe first, expensive join only on survivors)."""
+    wmap = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("_bloom_words")
+    )
+    probed = df.crossJoin(F.broadcast(wmap)).withColumn(
+        "_bpos", _bloom_positions(F.col(key_col), hash_mode)
+    )
+    hit = F.expr(
+        "array_min(transform(_bpos, p -> "
+        "  (shiftright(coalesce(element_at(_bloom_words, CAST(p DIV 32 AS INT)),"
+        "              CAST(0 AS BIGINT)), CAST(p % 32 AS INT))"
+        "   & CAST(1 AS BIGINT)))) = 1"
+    )
+    return probed.withColumn(out_col, hit).drop("_bloom_words", "_bpos")
+
+
+def bloom_semijoin_audit_sql(fact_rel: str, fact_key: str, dim_rel: str, dim_key: str) -> str:
+    """DuckDB twin of the `bloom_prune_orders` query: replay the exact
+    bit arithmetic, report (n_probe, n_pass, n_exact, n_false_pos)."""
+    xf = f"({H.portable_hash_sql(f'CAST({fact_key} AS VARCHAR)')})"
+    xd = f"({H.portable_hash_sql(f'CAST({dim_key} AS VARCHAR)')})"
+    dim_arms = " UNION ALL ".join(
+        f"SELECT ({H.minhash_perm_sql(xd, a, b)} % {BLOOM_BITS}) AS pos FROM dim"
+        for a, b in _BLOOM_CONST
+    )
+    fact_arms = " UNION ALL ".join(
+        f"SELECT _rid, {fact_key}, ({H.minhash_perm_sql(xf, a, b)} % {BLOOM_BITS}) AS pos FROM fact"
+        for a, b in _BLOOM_CONST
+    )
+    return f"""
+    WITH dim AS ({dim_rel}),
+    fact AS (SELECT row_number() OVER () AS _rid, * FROM ({fact_rel})),
+    dbits AS ({dim_arms}),
+    words AS (
+      SELECT (pos // 32)::int AS word_idx,
+             bit_or(1::bigint << (pos % 32)) AS word
+      FROM dbits GROUP BY (pos // 32)::int
+    ),
+    fbits AS ({fact_arms}),
+    probed AS (
+      SELECT f._rid, f.{fact_key},
+             min(((coalesce(w.word, 0) >> (f.pos % 32)) & 1)::int) AS hit
+      FROM fbits f LEFT JOIN words w ON (f.pos // 32)::int = w.word_idx
+      GROUP BY f._rid, f.{fact_key}
+    )
+    SELECT count(*)::bigint AS n_probe,
+           sum(hit)::bigint AS n_pass,
+           sum(CASE WHEN {fact_key} IN (SELECT {dim_key} FROM dim)
+                    THEN 1 ELSE 0 END)::bigint AS n_exact,
+           sum(CASE WHEN hit = 1 AND {fact_key} NOT IN (SELECT {dim_key} FROM dim)
+                    THEN 1 ELSE 0 END)::bigint AS n_false_pos
+    FROM probed
+    """
+
+
 def hll_distinct_sql(rel: str, key_expr: str, group_cols: list[str]) -> str:
     """DuckDB twin of `hll_distinct` (portable hash mode), same integer
     pipeline, same single-literal division, same rounding."""

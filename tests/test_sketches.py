@@ -8,6 +8,8 @@ import hashlib
 import os
 import sys
 
+import pytest
+
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -100,3 +102,121 @@ def test_hll_partial_aggregation_in_plan(spark):
     )
     assert "partial_max" in plan or "HashAggregate" in plan, plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def token_stream(spark):
+    from entity_linking_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return D.doc_records(docs).select(F.explode("tokens").alias("token"))
+
+
+def test_cms_never_undercounts_and_is_tight_here(token_stream):
+    counters = SK.cms_counters(token_stream, "token", [])
+    probes = token_stream.select("token").distinct()
+    est = SK.cms_lookup(counters, probes, "token", [])
+    exact = token_stream.groupBy("token").agg(F.count("*").alias("exact"))
+    rows = est.join(exact, "token").collect()
+    assert rows
+    assert all(r.cms_count >= r.exact for r in rows)  # CMS guarantee
+    # at w=1024 over a small vocab, collisions are absent: estimates exact
+    assert all(r.cms_count == r.exact for r in rows)
+
+
+def test_cms_counter_table_is_bounded(token_stream):
+    counters = SK.cms_counters(token_stream, "token", [])
+    assert counters.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
+
+
+def test_cms_merge_by_sum_equals_whole(spark, token_stream):
+    """Element-wise summing two halves' counter tables equals the counter
+    table of the union — the property that lets per-partition/per-day
+    sketches fold."""
+    t = token_stream.withColumn("_h", F.crc32(F.col("token")) % 2)
+    a = SK.cms_counters(t.filter("_h = 0"), "token", [])
+    b = SK.cms_counters(t.filter("_h = 1"), "token", [])
+    merged = (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.cms_counters(token_stream, "token", [])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_grouped_and_fast_mode(token_stream):
+    t = token_stream.withColumn("g", F.length("token") % 2)
+    counters = SK.cms_counters(t, "token", ["g"], hash_mode="fast")
+    probes = t.select("g", "token").distinct()
+    est = SK.cms_lookup(counters, probes, "token", ["g"], hash_mode="fast")
+    exact = t.groupBy("g", "token").agg(F.count("*").alias("exact"))
+    rows = est.join(exact, ["g", "token"]).collect()
+    assert rows and all(r.cms_count >= r.exact for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def members(spark):
+    return spark.createDataFrame(
+        [(f"key-{i}",) for i in range(0, 400, 2)], ["k"]
+    )
+
+
+def test_bloom_no_false_negatives(spark, members):
+    bloom = SK.bloom_build(members, "k")
+    probed = SK.bloom_probe(members, bloom, "k")
+    assert probed.filter("NOT might_contain").count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark, members):
+    bloom = SK.bloom_build(members, "k")
+    non = spark.createDataFrame([(f"other-{i}",) for i in range(2000)], ["k"])
+    fp = SK.bloom_probe(non, bloom, "k").filter("might_contain").count()
+    # n=200, k=5, m=16384 -> theoretical fp ~ 2e-6; allow slack
+    assert fp <= 5
+
+
+def test_bloom_probe_never_shuffles_fact(spark, members):
+    bloom = SK.bloom_build(members, "k")
+    fact = spark.range(0, 10_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    plan = (
+        SK.bloom_probe(fact, bloom, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only hash exchange allowed is the tiny build side (word_idx
+    # groupBy); the fact side must reach the join with zero shuffles
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "word_idx" in line, plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bloom_word_table_merges_by_bit_or(spark, members):
+    half_a = members.filter(F.col("k") < "key-2")
+    half_b = members.filter(F.col("k") >= "key-2")
+    merged = (
+        SK.bloom_build(half_a, "k")
+        .unionByName(SK.bloom_build(half_b, "k"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    whole = SK.bloom_build(members, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
