@@ -1044,6 +1044,19 @@ def q_bloom_prune_orders(spark, sf_dir):
     )
 
 
+_QS = [0.5, 0.9, 0.99]
+
+
+def q_events_value_quantiles(spark, sf_dir):
+    """Histogram-quantile sketch: per-type p50/p90/p99 from 128 bounded
+    equi-width bins (two partial-agg groupBys + a window over ≤128 rows
+    per group) instead of exact `percentile`'s per-group sorted-value
+    state (`operators/sketches.py`)."""
+    return SK.histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "value", ["event_type"], _QS
+    )
+
+
 _SPLITS = [("train", 8000), ("val", 1000), ("test", 1000)]
 
 
@@ -1136,13 +1149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_cap": q_docs_stratified_cap,
         "cms_token_counts": q_cms_token_counts,
         "bloom_prune_orders": q_bloom_prune_orders,
+        "events_value_quantiles": q_events_value_quantiles,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "token_tfidf": q_token_tfidf,
         "token_keyphraseness": q_token_keyphraseness,
         "milne_witten_relatedness": q_milne_witten,
-        "pair_tfidf_cosine": q_pair_tfidf_cosine,
         "multimodal_decode": q_multimodal_decode,
         # — graph walks + belief propagation —
         "pagerank": q_pagerank,
@@ -1158,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "pair_tfidf_cosine": q_pair_tfidf_cosine,
         "pagerank_priors": q_pagerank_priors,
         "loopy_bp": q_loopy_bp,
         "pair_embedding_cosine": q_pair_embedding_cosine,
@@ -1639,6 +1653,9 @@ def _training_data_oracles() -> dict[str, str]:
             "SELECT unnest(tokens) AS token FROM ("
             + D.doc_records_sql(_DOCS_REL)
             + ")"
+        ),
+        "events_value_quantiles": SK.histogram_quantiles_sql(
+            "SELECT * FROM events", "value", ["event_type"], _QS
         ),
         "bloom_prune_orders": SK.bloom_semijoin_audit_sql(
             "SELECT o_orderkey, o_custkey FROM orders",

@@ -375,6 +375,138 @@ def bloom_semijoin_audit_sql(fact_rel: str, fact_key: str, dim_rel: str, dim_key
     """
 
 
+# ---------------------------------------------------------------------------
+# Histogram quantiles — percentiles in n_bins bounded state
+# ---------------------------------------------------------------------------
+#
+# Exact `percentile(v, q)` materializes each group's full sorted value
+# list — unbounded per-group state, the same single-task pathology as an
+# uncapped window. The equi-width histogram is the bounded-state path:
+# per-group (min, max, count) → bin counts (both partial-agg'd, ≤ n_bins
+# rows per group) → cumulative walk over the ≤ n_bins rows → linear
+# interpolation inside the target bin (uniform-within-bin assumption,
+# the classic textbook estimator). The estimate lies in the bin where
+# the cumulative count crosses q·n, i.e. within one bin width of the
+# order statistic at that rank (value-space distance to the
+# interpolated exact percentile can exceed that in sparse tails — the
+# guarantee is rank-accurate, like every fixed-width histogram).
+# Bin counts merge
+# across partitions/days by element-wise sum given shared bounds.
+# Deterministic double arithmetic expressed identically in both engines;
+# estimates rounded to 6dp like every float column in the oracle scheme.
+
+HIST_BINS = 128
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """group_cols + (q, hist_q): the histogram estimate of each quantile
+    q ∈ qs per group. Two partial-agg'd groupBys + one window over
+    ≤ n_bins rows per group — no per-group sorted-value state."""
+    v = F.col(value_col)
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    binned = df.join(bounds, group_cols).withColumn(
+        "_bin",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    ((v - F.col("_mn")) / (F.col("_mx") - F.col("_mn")))
+                    * F.lit(n_bins)
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    bins = binned.groupBy(*group_cols, "_bin", "_mn", "_mx", "_n").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("_cum", F.sum("_cnt").over(w))
+    probes = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).withColumn("_t", F.col("q") * F.col("_n"))
+    hit = probes.filter(
+        (F.col("_t") > F.col("_cum") - F.col("_cnt"))
+        & (F.col("_t") <= F.col("_cum"))
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(n_bins)
+    est = (
+        F.col("_mn")
+        + F.col("_bin") * width
+        + ((F.col("_t") - (F.col("_cum") - F.col("_cnt"))) / F.col("_cnt"))
+        * width
+    )
+    return hit.select(
+        *group_cols, "q", F.round(est, 6).alias("hist_q")
+    )
+
+
+def histogram_quantiles_sql(
+    rel: str,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+    n_bins: int = HIST_BINS,
+) -> str:
+    """DuckDB twin: the identical expression tree (same parenthesization
+    so the doubles round identically)."""
+    g = ", ".join(group_cols)
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+    WITH b AS (
+      SELECT {g}, min({value_col}) AS _mn, max({value_col}) AS _mx,
+             count(*)::bigint AS _n
+      FROM ({rel}) GROUP BY {g}
+    ),
+    wb AS (
+      SELECT e.{g.replace(', ', ', e.')}, _mn, _mx, _n,
+             (CASE WHEN _mx = _mn THEN 0
+                   ELSE least({n_bins - 1},
+                        floor((({value_col} - _mn) / (_mx - _mn)) * {n_bins}))
+              END)::int AS _bin
+      FROM ({rel}) e JOIN b USING ({g})
+    ),
+    bc AS (
+      SELECT {g}, _bin, _mn, _mx, _n, count(*)::bigint AS _cnt
+      FROM wb GROUP BY {g}, _bin, _mn, _mx, _n
+    ),
+    cum AS (
+      SELECT *, sum(_cnt) OVER (
+        PARTITION BY {g} ORDER BY _bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS _cum FROM bc
+    ),
+    probes AS (
+      SELECT c.*, q, q * _n AS _t
+      FROM cum c CROSS JOIN (SELECT unnest([{qlist}]::double[]) AS q) qq
+    )
+    SELECT {g}, q,
+           round(_mn + _bin * ((_mx - _mn) / {n_bins})
+                 + ((_t - (_cum - _cnt)) / _cnt) * ((_mx - _mn) / {n_bins}),
+                 6) AS hist_q
+    FROM probes
+    WHERE _t > _cum - _cnt AND _t <= _cum
+    """
+
+
 def hll_distinct_sql(rel: str, key_expr: str, group_cols: list[str]) -> str:
     """DuckDB twin of `hll_distinct` (portable hash mode), same integer
     pipeline, same single-literal division, same rounding."""

@@ -220,3 +220,69 @@ def test_bloom_word_table_merges_by_bit_or(spark, members):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_histogram_quantiles_within_bin_width_of_rank(events):
+    """The estimator's guarantee is rank-accurate: the estimate lies in
+    the bin where the cumulative count crosses q·n, so it is within one
+    bin width of the order statistic at that rank."""
+    import math
+
+    qs = [0.5, 0.9, 0.99]
+    got = {
+        (r.event_type, r.q): r.hist_q
+        for r in SK.histogram_quantiles(events, "value", ["event_type"], qs).collect()
+    }
+    assert got
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for g, vs in vals.items():
+        vs.sort()
+        width = (vs[-1] - vs[0]) / SK.HIST_BINS
+        for q in qs:
+            order_stat = vs[math.ceil(q * len(vs)) - 1]
+            assert abs(got[(g, q)] - order_stat) <= width + 1e-9, (g, q)
+
+
+def test_histogram_quantiles_monotone_and_in_range(events):
+    qs = [0.1, 0.5, 0.9]
+    rows = SK.histogram_quantiles(events, "value", ["event_type"], qs).collect()
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r.event_type, {})[r.q] = r.hist_q
+    for g, d in per_g.items():
+        assert d[0.1] <= d[0.5] <= d[0.9]
+
+
+def test_histogram_quantiles_degenerate_single_value(spark):
+    df = spark.createDataFrame([("a", 5.0)] * 10, ["g", "v"])
+    rows = SK.histogram_quantiles(df, "v", ["g"], [0.5, 0.9]).collect()
+    assert {r.hist_q for r in rows} == {5.0}
+
+
+def test_histogram_quantiles_bounded_window_state(events):
+    """The only window in the plan runs over the bin table (<= n_bins rows
+    per group), never over raw values."""
+    plan = (
+        SK.histogram_quantiles(events, "value", ["event_type"], [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile" not in plan.lower()
+    # the window's input is the aggregated bin table: the plan prints
+    # root-first, so the HashAggregate (bin counts) appears BELOW the
+    # Window operator consuming it
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
