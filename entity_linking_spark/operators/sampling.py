@@ -180,19 +180,20 @@ def stratified_cap(
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy("_h", key_col)
-    rank_take = lambda d: (  # noqa: E731
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
-        .drop("_rn")
-    )
-    took = rank_take(pre)
+    ranked = pre.withColumn("_rn", F.row_number().over(w))
+    took = ranked.filter(F.col("_rn") <= cap).drop("_rn")
 
     # Fallback: groups whose prefilter passed fewer than min(cap, n)
     # rows. P(under-fill) per group ~ P(Binomial(n, safety*cap/n) < cap),
     # astronomically small at safety=8 — but exactness must not rest on
-    # probability, so re-rank those groups over their full row set
-    # (still distributed; the under-filled set is tiny by construction).
-    pre_n = pre.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_pre_n"))
+    # probability, so re-rank those groups over their full row set.
+    # Survivor counts come from max(_rn) of the already-ranked output
+    # (the groupBy reuses the window's partitioning — no second pass
+    # over `pre`); the counts left-join catches zero-survivor groups.
+    # The fallback join is broadcast, so when `bad` materializes empty —
+    # i.e. always, in practice — AQE's empty-relation propagation prunes
+    # the whole branch including its scan.
+    pre_n = ranked.groupBy(*group_cols).agg(F.max("_rn").alias("_pre_n"))
     bad = (
         counts.join(pre_n, group_cols, "left")
         .filter(
@@ -202,7 +203,11 @@ def stratified_cap(
         .select(*group_cols)
     )
     good = took.join(F.broadcast(bad), group_cols, "left_anti")
-    fixed = rank_take(base.join(F.broadcast(bad), group_cols))
+    fixed = (
+        base.join(F.broadcast(bad), group_cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+    )
     out_cols = df.columns
     return good.select(*out_cols).unionByName(fixed.select(*out_cols))
 
