@@ -40,6 +40,15 @@ AUDIT = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_volume",
+    "events_session_attr",
+    "events_asof_orders",
+    "hll_distinct_docs",
+    "cms_token_counts",
+    "bloom_prune_orders",
+    "events_value_quantiles",
+    "docs_sample",
+    "docs_split",
+    "docs_stratified_cap",
 ]
 
 
