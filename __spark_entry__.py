@@ -29,6 +29,7 @@ from entity_linking_spark.operators import clustering as C
 from entity_linking_spark.operators import incremental as INC
 from entity_linking_spark.operators import asof as ASOF
 from entity_linking_spark.operators import conversations as CONV
+from entity_linking_spark.operators import curation as CUR
 from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
 from entity_linking_spark.operators import evaluation as EVAL
@@ -1087,6 +1088,65 @@ def q_docs_stratified_cap(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C n-gram overlap): the
+    deterministic doc_id%20 slice stands in for the eval benchmark, the
+    rest is the training corpus; eval n-grams are broadcast so the
+    corpus is never shuffled (`operators/curation.py`)."""
+    recs = _doc_records(spark, sf_dir)
+    return CUR.decontaminate(
+        recs.filter(F.col("doc_id") % 20 != 0),
+        recs.filter(F.col("doc_id") % 20 == 0),
+        n=_DECON_N,
+    )
+
+
+_DECON_N = 3  # synthetic-vocab corpus: 3-grams give a non-trivial overlap
+
+
+def _pii_enriched(spark, sf_dir):
+    """documents with deterministic synthetic PII appended — the corpus
+    text itself is digit-free, so the redaction paths are exercised with
+    a known per-doc payload (email + IPv4 always, 7+-digit account number
+    on every third doc)."""
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("contact user"), d.cast("string"), F.lit("@example.com")),
+            F.concat(
+                F.lit("from 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("acct "), (d * 1234567 + 9999999).cast("string")),
+            ),
+        ).alias("text"),
+    )
+
+
+_PII_ENRICHED_SQL = """
+SELECT doc_id, concat_ws(' ', text,
+    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com',
+    'from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        CAST(doc_id % 100 AS VARCHAR),
+    CASE WHEN doc_id % 3 = 0
+         THEN 'acct ' || CAST(doc_id * 1234567 + 9999999 AS VARCHAR) END
+) AS text FROM documents
+"""
+
+
+def q_docs_redact_pii(spark, sf_dir):
+    """PII scrub (emails / IPv4 / long digit runs) — zero-shuffle
+    expression chain over the deterministically PII-enriched corpus."""
+    return CUR.redact_pii(_pii_enriched(spark, sf_dir))
+
+
 def q_multimodal_decode(spark, sf_dir):
     return MM.decode_features(MM.attach_binary(_docs(spark, sf_dir)))
 
@@ -1142,8 +1202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "doc_fingerprints": q_doc_fingerprints,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_redact_pii": q_docs_redact_pii,
         "hll_distinct_docs": q_hll_distinct_docs,
-        "hll_distinct_total": q_hll_distinct_total,
         "docs_sample": q_docs_sample,
         "docs_split": q_docs_split,
         "docs_stratified_cap": q_docs_stratified_cap,
@@ -1164,13 +1225,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — event analytics —
         "events_sessionize": q_events_sessionize,
         "events_session_attr": q_events_session_attr,
-        "events_user_topk": q_events_user_topk,
         # — general relational analytics (TPC-H-style join/agg breadth) —
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3,
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "hll_distinct_total": q_hll_distinct_total,
+        "events_user_topk": q_events_user_topk,
         "pair_tfidf_cosine": q_pair_tfidf_cosine,
         "pagerank_priors": q_pagerank_priors,
         "loopy_bp": q_loopy_bp,
@@ -1638,6 +1700,12 @@ def _training_data_oracles() -> dict[str, str]:
             point_cols=["event_id", "user_id", "ts"],
             interval_cols=["session_idx"],
         ),
+        "docs_decontaminate": f"{with_recs} " + CUR.decontaminate_sql(
+            "SELECT * FROM drecs WHERE doc_id % 20 <> 0",
+            "SELECT * FROM drecs WHERE doc_id % 20 = 0",
+            n=_DECON_N,
+        ),
+        "docs_redact_pii": CUR.redact_pii_sql(_PII_ENRICHED_SQL),
         "hll_distinct_docs": SK.hll_distinct_sql(_DOCS_REL, "text", ["source"]),
         "hll_distinct_total": SK.hll_distinct_sql(_DOCS_REL, "text", []),
         "docs_sample": "SELECT doc_id, lang, source, n_chars FROM ("

@@ -1,0 +1,179 @@
+"""Corpus-curation operators a pretraining pipeline runs before training:
+benchmark decontamination and PII redaction.
+
+Both are expressed as portable Spark/DuckDB twins like the rest of the
+training-data layer (see `textanalysis.py`): the Spark form is the
+production plan, the SQL form is the oracle replayed by the driver gate.
+
+Decontamination follows the n-gram-overlap recipe published with GPT-3
+(Brown et al. 2020, appendix C) and open reimplementations (e.g.
+Dolma/OLMo decon): any training document sharing word n-grams with an
+evaluation set is flagged, with the overlap ratio reported so the caller
+can pick a threshold. 100 TB shape: the eval side is tiny (benchmarks are
+thousands of documents, not billions) — its distinct n-gram set is
+BROADCAST, so the training corpus is scanned once, exploded to n-grams
+map-side, hash-joined against the broadcast set with no shuffle of the
+corpus, and reduced by one partial-aggregated groupBy(doc_id). The only
+exchange in the plan is the final doc-level aggregate.
+
+PII redaction is a pure per-row expression chain (regexp_replace /
+regexp_count) — zero shuffle, runs at scan speed with full column
+pruning, exactly like `quality_filter`. Patterns are restricted to the
+regex dialect subset Java (Spark) and RE2 (DuckDB) evaluate identically:
+no lookaround, no backreferences, ASCII classes, `(?:...)` groups and
+`\\b` boundaries only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokenize as Tk
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    flag_ratio: float = 0.05,
+) -> DataFrame:
+    """(doc_id, n_grams, contaminated, contamination_ratio, flagged) for
+    every training document.
+
+    `train` and `eval_set` are `dedup.doc_records` outputs
+    (doc_id, tokens). `contaminated` counts training n-gram OCCURRENCES
+    that appear anywhere in the eval set (occurrence-weighted, the GPT-3
+    appendix-C convention); `contamination_ratio` = contaminated /
+    n_grams (0 for docs shorter than n tokens); `flagged` marks documents
+    at or above `flag_ratio`.
+
+    Plan: eval n-grams → distinct → broadcast; train n-grams exploded
+    (`explode_outer`, so a doc shorter than n tokens still emits its
+    zero row), broadcast-LEFT-joined against the eval set with a hit
+    marker, then ONE partial-agg'd groupBy(doc_id) computes both the
+    total and the contaminated count — the training corpus crosses
+    exactly one exchange and is never joined on doc_id at all.
+    """
+    grams = Tk.word_ngrams_col(F.col("tokens"), n)
+    eval_grams = (
+        eval_set.select(F.explode(grams).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    marked = train.select("doc_id", F.explode_outer(grams).alias("gram")).join(
+        F.broadcast(eval_grams), "gram", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("gram").alias("n_grams"),
+        F.count("hit").alias("contaminated"),
+    )
+    ratio = F.round(
+        F.coalesce(
+            F.try_divide(F.col("contaminated"), F.col("n_grams")), F.lit(0.0)
+        ),
+        6,
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "contaminated",
+        ratio.alias("contamination_ratio"),
+        (ratio >= F.lit(flag_ratio)).alias("flagged"),
+    )
+
+
+def decontaminate_sql(
+    train_rel: str,
+    eval_rel: str,
+    n: int = 5,
+    flag_ratio: float = 0.05,
+) -> str:
+    grams = Tk.word_ngrams_sql("tokens", n)
+    return f"""
+    SELECT t.doc_id,
+           t.n_grams,
+           coalesce(h.contaminated, 0) AS contaminated,
+           round(CASE WHEN t.n_grams = 0 THEN 0.0 ELSE
+               coalesce(h.contaminated / CAST(t.n_grams AS DOUBLE), 0.0) END, 6)
+             AS contamination_ratio,
+           round(CASE WHEN t.n_grams = 0 THEN 0.0 ELSE
+               coalesce(h.contaminated / CAST(t.n_grams AS DOUBLE), 0.0) END, 6)
+             >= {flag_ratio!r} AS flagged
+    FROM (SELECT doc_id, CAST(len({grams}) AS BIGINT) AS n_grams
+          FROM ({train_rel})) t
+    LEFT JOIN (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS contaminated
+      FROM (SELECT doc_id, unnest({grams}) AS gram FROM ({train_rel})) tg
+      JOIN (SELECT DISTINCT unnest({grams}) AS gram FROM ({eval_rel})) eg
+        USING (gram)
+      GROUP BY doc_id
+    ) h ON t.doc_id = h.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Dialect-portable patterns (identical match semantics in Java regex and
+# RE2): greedy, no lookaround, ASCII classes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+LONGNUM_RE = r"\b[0-9]{7,}\b"
+
+
+def _redact(col: Column) -> tuple[Column, Column, Column, Column]:
+    n_emails = F.regexp_count(col, F.lit(EMAIL_RE))
+    n_ips = F.regexp_count(col, F.lit(IPV4_RE))
+    n_longnums = F.regexp_count(col, F.lit(LONGNUM_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        LONGNUM_RE,
+        "<NUM>",
+    )
+    return redacted, n_emails, n_ips, n_longnums
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_emails, n_ips, n_longnums): scrub emails,
+    IPv4 addresses, and standalone digit runs of 7+ (account/phone/card
+    shaped), in that order — emails first so their local-part digits are
+    gone before the digit-run pass, IPs before digit runs so octets are
+    never half-eaten. Counts are measured on the ORIGINAL text.
+
+    Pure narrow projection: no shuffle, no UDF; at 100 TB this runs at
+    scan speed and the planner prunes every unused column.
+    """
+    redacted, n_emails, n_ips, n_longnums = _redact(F.col(text_col))
+    return df.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_longnums.alias("n_longnums"),
+    )
+
+
+def redact_pii_sql(rel: str, text_col: str = "text") -> str:
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    c = text_col
+    return f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace({c},
+               '{q(EMAIL_RE)}', '<EMAIL>', 'g'),
+               '{q(IPV4_RE)}', '<IP>', 'g'),
+               '{q(LONGNUM_RE)}', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all({c}, '{q(EMAIL_RE)}')) AS n_emails,
+           len(regexp_extract_all({c}, '{q(IPV4_RE)}')) AS n_ips,
+           len(regexp_extract_all({c}, '{q(LONGNUM_RE)}')) AS n_longnums
+    FROM ({rel})
+    """

@@ -197,3 +197,34 @@ def test_incremental_pairs_never_enumerates_old_x_old(spark, tmp_path_factory):
     n_old = plan.count("old_blocks.parquet")
     n_new = plan.count("new_blocks.parquet")
     assert n_old < n_new, f"old scanned {n_old}x vs new {n_new}x:\n{plan[:3000]}"
+
+
+def test_decontaminate_broadcasts_eval_single_corpus_exchange(spark, sf_dir):
+    """Decontamination's 100 TB contract: the eval n-gram set is broadcast
+    (never a shuffle join against the corpus) and the corpus crosses one
+    exchange — the partial+final doc aggregate."""
+    from entity_linking_spark.operators import curation as CUR
+    from entity_linking_spark.operators import dedup as D
+
+    recs = D.doc_records(load_table(spark, sf_dir, "documents"))
+    plan = _plan(
+        CUR.decontaminate(
+            recs.filter(F.col("doc_id") % 20 != 0),
+            recs.filter(F.col("doc_id") % 20 == 0),
+            n=3,
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial precedes the shuffle
+
+
+def test_redact_pii_is_pure_projection(spark, sf_dir):
+    """PII redaction must stay a narrow scan+project: no exchange, no
+    join, and column pruning down to (doc_id, text)."""
+    from entity_linking_spark.operators import curation as CUR
+
+    plan = _plan(CUR.redact_pii(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan and "Join" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "n_chars" not in read and "lang" not in read

@@ -366,3 +366,59 @@ def test_dedup_clusters_keeper_and_droplist(doc_recs):
     assert out[1]["is_dup"] == 1 and out[2]["is_dup"] == 1
     for d in (3, 4, 5):
         assert out[d]["keeper_id"] == d and out[d]["is_dup"] == 0
+
+
+# ---------------------------------------------------------------------------
+# curation: decontamination + PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_counts_and_flags(spark):
+    from entity_linking_spark.operators import curation as CUR
+
+    eval_rows = [(100, "alpha beta gamma delta")]
+    train_rows = [
+        # contains "alpha beta gamma" twice (occurrence-weighted = 2)
+        (0, "alpha beta gamma x alpha beta gamma"),
+        # clean doc, same vocab but no shared 3-gram
+        (1, "beta alpha gamma delta beta"),
+        # shorter than n tokens -> zero row, ratio 0, not flagged
+        (2, "alpha beta"),
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, "s", "en") for i, t in rows],
+        "doc_id long, text string, source string, lang string",
+    )
+    recs = lambda rows: D.doc_records(mk(rows))  # noqa: E731
+    out = {
+        r["doc_id"]: r
+        for r in CUR.decontaminate(
+            recs(train_rows), recs(eval_rows), n=3, flag_ratio=0.2
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["n_grams"] == 5 and out[0]["contaminated"] == 2
+    assert out[0]["contamination_ratio"] == 0.4 and out[0]["flagged"]
+    assert out[1]["contaminated"] == 0 and not out[1]["flagged"]
+    assert out[2]["n_grams"] == 0 and out[2]["contamination_ratio"] == 0.0
+    assert not out[2]["flagged"]
+
+
+def test_redact_pii_patterns(spark):
+    from entity_linking_spark.operators import curation as CUR
+
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.org or 10.1.2.34 thanks"),
+        (1, "card 4111111111111111 and short 123456 stay-part user7 v1.2.3.4x"),
+        (2, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CUR.redact_pii(df).collect()}
+    assert out[0]["redacted"] == "mail me at <EMAIL> or <IP> thanks"
+    assert out[0]["n_emails"] == 1 and out[0]["n_ips"] == 1
+    # 16-digit card redacted; 6-digit number kept; digits glued to letters
+    # kept; dotted quad without word boundary (v1.2.3.4x) kept
+    assert out[1]["redacted"] == "card <NUM> and short 123456 stay-part user7 v1.2.3.4x"
+    assert out[1]["n_longnums"] == 1 and out[1]["n_ips"] == 0
+    assert out[2]["redacted"] == "no pii here"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_longnums"]) == (0, 0, 0)
