@@ -1088,6 +1088,26 @@ def q_docs_stratified_cap(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+_PACK_LEN = 512  # tokens per packed training sequence
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: every document's span (global
+    token offset, first/last sequence, in-sequence offset) in a packed
+    fixed-length training corpus — distributed spine-offset prefix sum,
+    never a global 1-reducer window (`operators/curation.py`)."""
+    return CUR.pack_sequences(_doc_records(spark, sf_dir), seq_len=_PACK_LEN)
+
+
+def q_docs_pack_stats(spark, sf_dir):
+    """One-row packing audit: sequences filled, tail padding, boundary-
+    straddling doc count."""
+    return CUR.packing_stats(
+        CUR.pack_sequences(_doc_records(spark, sf_dir), seq_len=_PACK_LEN),
+        seq_len=_PACK_LEN,
+    )
+
+
 def q_docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix-C n-gram overlap): the
     deterministic doc_id%20 slice stands in for the eval benchmark, the
@@ -1206,8 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact_pii": q_docs_redact_pii,
         "hll_distinct_docs": q_hll_distinct_docs,
         "docs_sample": q_docs_sample,
-        "docs_split": q_docs_split,
         "docs_stratified_cap": q_docs_stratified_cap,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "cms_token_counts": q_cms_token_counts,
         "bloom_prune_orders": q_bloom_prune_orders,
         "events_value_quantiles": q_events_value_quantiles,
@@ -1231,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "docs_split": q_docs_split,
+        "docs_pack_stats": q_docs_pack_stats,
         "hll_distinct_total": q_hll_distinct_total,
         "events_user_topk": q_events_user_topk,
         "pair_tfidf_cosine": q_pair_tfidf_cosine,
@@ -1699,6 +1721,13 @@ def _training_data_oracles() -> dict[str, str]:
             end_col="t_end",
             point_cols=["event_id", "user_id", "ts"],
             interval_cols=["session_idx"],
+        ),
+        "docs_pack_sequences": f"{with_recs} "
+        + CUR.pack_sequences_sql("SELECT * FROM drecs", seq_len=_PACK_LEN),
+        "docs_pack_stats": f"{with_recs} "
+        + CUR.packing_stats_sql(
+            CUR.pack_sequences_sql("SELECT * FROM drecs", seq_len=_PACK_LEN),
+            seq_len=_PACK_LEN,
         ),
         "docs_decontaminate": f"{with_recs} " + CUR.decontaminate_sql(
             "SELECT * FROM drecs WHERE doc_id % 20 <> 0",

@@ -26,7 +26,7 @@ no lookaround, no backreferences, ASCII classes, `(?:...)` groups and
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import tokenize as Tk
@@ -176,4 +176,134 @@ def redact_pii_sql(rel: str, text_col: str = "text") -> str:
            len(regexp_extract_all({c}, '{q(IPV4_RE)}')) AS n_ips,
            len(regexp_extract_all({c}, '{q(LONGNUM_RE)}')) AS n_longnums
     FROM ({rel})
+    """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+PACK_BUCKETS = 32
+
+
+def pack_sequences(
+    records: DataFrame, seq_len: int = 512, n_buckets: int = PACK_BUCKETS
+) -> DataFrame:
+    """Assign every document its span in a packed fixed-length training
+    corpus: (doc_id, n_tokens, tok_start, seq_start, seq_end, seq_offset).
+
+    The GPT-style pretraining data layout: documents are concatenated in a
+    deterministic total order and the token stream is chunked into
+    sequences of exactly `seq_len` tokens, so a document starting at
+    global token offset `tok_start` lands in sequences
+    `tok_start div L .. (tok_start + n_tokens - 1) div L` beginning at
+    `tok_start % L` within the first. Empty documents contribute nothing
+    to a packed corpus and are dropped.
+
+    The packing order is (doc_id % n_buckets, doc_id) — any deterministic
+    total order packs equally well, and this one makes the prefix sum
+    distributed: a global `sum() OVER (ORDER BY ...)` is the classic
+    1-reducer bottleneck (every row through one task's sort), so instead
+    per-bucket token totals are aggregated map-side (tiny: n_buckets
+    rows), cumulated in one bounded window, broadcast back, and each
+    bucket computes its local running sum in parallel — the same
+    spine-offset decomposition as the positional index. At 100 TB,
+    `n_buckets` scales with the cluster (each bucket's window sorts
+    ~corpus/n_buckets rows); all arithmetic is exact int64 (`div`/`%`,
+    never float division, safe past 2^53 total tokens).
+    """
+    docs = (
+        records.select(
+            "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("pack_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)))
+    )
+    spine = Window.orderBy("pack_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        docs.groupBy("pack_bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .select(
+            "pack_bucket",
+            (F.sum("bucket_tokens").over(spine) - F.col("bucket_tokens"))
+            .alias("bucket_offset"),
+        )
+    )
+    local = Window.partitionBy("pack_bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tok_start = (
+        F.col("bucket_offset") + F.sum("n_tokens").over(local) - F.col("n_tokens")
+    )
+    return (
+        docs.join(F.broadcast(offsets), "pack_bucket")
+        .withColumn("tok_start", tok_start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_start",
+            F.expr(f"tok_start div {seq_len}").alias("seq_start"),
+            F.expr(f"(tok_start + n_tokens - 1) div {seq_len}").alias("seq_end"),
+            F.pmod(F.col("tok_start"), F.lit(seq_len)).cast("long")
+            .alias("seq_offset"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    records_rel: str, seq_len: int = 512, n_buckets: int = PACK_BUCKETS
+) -> str:
+    """DuckDB twin: the oracle can afford the single global window —
+    `ORDER BY (doc_id % n_buckets, doc_id)` reproduces the bucketed
+    packing order exactly."""
+    return f"""
+    SELECT doc_id, n_tokens,
+           tok_start,
+           tok_start // {seq_len} AS seq_start,
+           (tok_start + n_tokens - 1) // {seq_len} AS seq_end,
+           tok_start % {seq_len} AS seq_offset
+    FROM (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY doc_id % {n_buckets}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) - n_tokens AS tok_start
+      FROM (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
+            FROM ({records_rel}))
+      WHERE n_tokens > 0
+    )
+    """
+
+
+def packing_stats(packed: DataFrame, seq_len: int = 512) -> DataFrame:
+    """One-row packing audit over `pack_sequences` output: total tokens,
+    number of `seq_len` sequences the corpus fills (ceil), tokens of tail
+    padding wasted, and how many documents straddle a sequence boundary
+    (the attention-masking cost of packing). Pure single aggregate —
+    partial-agg'd, no extra shuffle beyond the one reduce."""
+    total = F.sum("n_tokens")
+    n_seq = F.expr(f"(sum(n_tokens) + {seq_len} - 1) div {seq_len}")
+    return packed.agg(
+        F.count("*").alias("n_docs"),
+        total.alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        (n_seq * seq_len - total).alias("tail_padding"),
+        F.sum((F.col("seq_end") > F.col("seq_start")).cast("long"))
+        .alias("straddling_docs"),
+    )
+
+
+def packing_stats_sql(packed_rel: str, seq_len: int = 512) -> str:
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {seq_len} - 1) // {seq_len} AS BIGINT)
+             AS n_sequences,
+           CAST(((sum(n_tokens) + {seq_len} - 1) // {seq_len}) * {seq_len}
+             - sum(n_tokens) AS BIGINT) AS tail_padding,
+           CAST(sum(CASE WHEN seq_end > seq_start THEN 1 ELSE 0 END)
+             AS BIGINT) AS straddling_docs
+    FROM ({packed_rel})
     """

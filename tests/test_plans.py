@@ -228,3 +228,18 @@ def test_redact_pii_is_pure_projection(spark, sf_dir):
     assert "Exchange" not in plan and "Join" not in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" in read and "n_chars" not in read and "lang" not in read
+
+
+def test_pack_sequences_distributed_prefix_sum(spark, sf_dir):
+    """Packing's 100 TB contract: no global-order window over the corpus —
+    the running sum is per-bucket (corpus window partitioned by
+    pack_bucket) with the tiny bucket-offset spine broadcast back."""
+    from entity_linking_spark.operators import curation as CUR
+    from entity_linking_spark.operators import dedup as D
+
+    recs = D.doc_records(load_table(spark, sf_dir, "documents"))
+    plan = _plan(CUR.pack_sequences(recs, seq_len=512))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus-side window is keyed on pack_bucket, not a global sort
+    assert "windowspecdefinition(pack_bucket" in plan
