@@ -1088,6 +1088,17 @@ def q_docs_stratified_cap(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_docs_mixture_sample(spark, sf_dir):
+    """sqrt-temperature source mixing (multilingual-T5 / XLM-R alpha=0.5
+    rebalancing): per-source acceptance thresholds computed from source
+    counts (tiny groupBy, two bounded windows), broadcast back, applied
+    as an integer hash filter — the corpus is never shuffled
+    (`operators/sampling.py`)."""
+    return SMP.mixture_sample(
+        _docs(spark, sf_dir), ["lang"], "doc_id", hash_mode=CFG.hash_mode
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
 _PACK_LEN = 512  # tokens per packed training sequence
 
 
@@ -1220,13 +1231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_jaccard": q_dedup_jaccard,
         "doc_fingerprints": q_doc_fingerprints,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_redact_pii": q_docs_redact_pii,
         "hll_distinct_docs": q_hll_distinct_docs,
         "docs_sample": q_docs_sample,
         "docs_stratified_cap": q_docs_stratified_cap,
+        "docs_mixture_sample": q_docs_mixture_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
         "cms_token_counts": q_cms_token_counts,
         "bloom_prune_orders": q_bloom_prune_orders,
@@ -1251,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "dedup_jaccard": q_dedup_jaccard,
         "docs_split": q_docs_split,
         "docs_pack_stats": q_docs_pack_stats,
         "hll_distinct_total": q_hll_distinct_total,
@@ -1746,6 +1758,9 @@ def _training_data_oracles() -> dict[str, str]:
         "docs_stratified_cap": SMP.stratified_cap_sql(
             _DOCS_REL, ["source"], "doc_id", 20, out_cols=["doc_id", "source"]
         ),
+        "docs_mixture_sample": "SELECT doc_id, source, lang, n_chars FROM ("
+        + SMP.mixture_sample_sql(_DOCS_REL, ["lang"], "doc_id")
+        + ")",
         "cms_token_counts": SK.cms_token_counts_sql(
             "SELECT unnest(tokens) AS token FROM ("
             + D.doc_records_sql(_DOCS_REL)

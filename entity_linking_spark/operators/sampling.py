@@ -233,3 +233,99 @@ def stratified_cap_sql(
       FROM ({rel})
     ) WHERE _rn <= {cap}
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-flattened source mixing
+# ---------------------------------------------------------------------------
+
+MIX_SCALE = 1_000_000  # mixture thresholds in parts-per-million
+
+
+def mixture_rates(
+    df: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Per-group acceptance thresholds realizing a sqrt-temperature
+    mixture: sampled counts proportional to sqrt(n_g) (the multilingual-
+    T5 / XLM-R alpha=0.5 rebalancing, which up-weights small sources
+    relative to their raw share), scaled as large as possible without
+    any group exceeding its population — the most data one can keep
+    under the target mixture.
+
+    With q_g = sqrt(n_g / N) and c = min_g(n_g / q_g), group g keeps
+    rate_g = c * q_g / n_g (the scarcest-relative-to-target group keeps
+    everything). Thresholds are floor(rate * 1e6) parts-per-million, so
+    the accept test is an integer comparison; every float on the way is
+    an IEEE correctly-rounded primitive (/ sqrt * min floor) evaluated
+    in the same tree shape by Spark and DuckDB — bit-identical, unlike
+    pow(), which carries no such guarantee and is avoided.
+
+    100 TB shape: one partial-agg'd groupBy to per-group counts (tiny:
+    one row per source), two windows over that tiny frame, broadcast
+    back by the caller. Returns (group_cols..., mix_thr).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_g"))
+    n_total = F.sum("n_g").over(w)
+    q = F.sqrt(F.col("n_g") / n_total)
+    c = F.min(F.col("n_g") / q).over(w)
+    thr = F.floor(c * q / F.col("n_g") * F.lit(float(MIX_SCALE)))
+    return counts.select(
+        *group_cols,
+        F.least(thr.cast("long"), F.lit(MIX_SCALE)).alias("mix_thr"),
+    )
+
+
+def mixture_rates_sql(rel: str, group_cols: list[str]) -> str:
+    gc = ", ".join(group_cols)
+    return f"""
+    SELECT {gc},
+           least(CAST(floor(
+             (min(n_g / sqrt(n_g / n_total)) OVER ())
+               * sqrt(n_g / n_total) / n_g * {float(MIX_SCALE)!r}
+           ) AS BIGINT), {MIX_SCALE}) AS mix_thr
+    FROM (
+      SELECT {gc}, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+      FROM ({rel}) GROUP BY {gc}
+    )
+    """
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    seed: int = DEFAULT_SEED,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Deterministic sqrt-temperature mixture sample: keep a row iff its
+    key hashes under its group's `mixture_rates` threshold. The fact
+    side takes one broadcast join + a filter — never shuffled; the same
+    hash-keyed reproducibility guarantees as `hash_sample`."""
+    rates = mixture_rates(df, group_cols)
+    bucket = F.pmod(hash60(F.col(key_col), seed, hash_mode), F.lit(MIX_SCALE))
+    return (
+        df.join(F.broadcast(rates), group_cols)
+        .filter(bucket < F.col("mix_thr"))
+        .drop("mix_thr")
+    )
+
+
+def mixture_sample_sql(
+    rel: str,
+    group_cols: list[str],
+    key_expr: str,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    gc = ", ".join(group_cols)
+    bucket = f"({hash60_sql(key_expr, seed)} % {MIX_SCALE})"
+    return f"""
+    SELECT d.* FROM ({rel}) d
+    JOIN ({mixture_rates_sql(rel, group_cols)}) r USING ({gc})
+    WHERE {bucket} < r.mix_thr
+    """

@@ -243,3 +243,18 @@ def test_pack_sequences_distributed_prefix_sum(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # the corpus-side window is keyed on pack_bucket, not a global sort
     assert "windowspecdefinition(pack_bucket" in plan
+
+
+def test_mixture_sample_fact_side_never_shuffled(spark, sf_dir):
+    """Mixture sampling's 100 TB contract: the per-group thresholds are a
+    tiny broadcast build side; the corpus itself is scan -> broadcast-join
+    -> filter with no shuffle."""
+    from entity_linking_spark.operators import sampling as SMP
+
+    plan = _plan(
+        SMP.mixture_sample(
+            load_table(spark, sf_dir, "documents"), ["lang"], "doc_id"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

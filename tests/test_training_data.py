@@ -471,3 +471,46 @@ def test_packing_stats_audit(spark):
     assert row["straddling_docs"] == sum(
         1 for r in packed.collect() if r["seq_end"] > r["seq_start"]
     )
+
+
+def test_mixture_sample_sqrt_rebalance(spark):
+    from entity_linking_spark.operators import sampling as SMP
+
+    # three groups, 16:4:1 — sqrt temperature flattens to 4:2:1
+    rows = (
+        [(i, "big") for i in range(1600)]
+        + [(10_000 + i, "mid") for i in range(400)]
+        + [(20_000 + i, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    rates = {
+        r["grp"]: r["mix_thr"]
+        for r in SMP.mixture_rates(df, ["grp"]).collect()
+    }
+    # scarcest-relative-to-target group keeps everything (up to the ppm
+    # floor); thresholds fall with group size
+    assert rates["small"] >= 999_999
+    assert rates["small"] > rates["mid"] > rates["big"]
+    # rate ratio big/small should be sqrt(1/16) = 1/4
+    assert abs(rates["big"] / rates["small"] - 0.25) < 1e-4
+
+    out = SMP.mixture_sample(df, ["grp"], "doc_id").groupBy("grp").count()
+    got = {r["grp"]: r["count"] for r in out.collect()}
+    # sampled counts realize the 4:2:1 target within hash noise
+    assert got["small"] == 100
+    assert abs(got["big"] / got["small"] - 4.0) < 0.6
+    assert abs(got["mid"] / got["small"] - 2.0) < 0.4
+    # kept set is a deterministic function of the key: rerun identical
+    again = SMP.mixture_sample(df, ["grp"], "doc_id")
+    assert again.orderBy("doc_id").collect() == SMP.mixture_sample(
+        df, ["grp"], "doc_id"
+    ).orderBy("doc_id").collect()
+
+
+def test_mixture_uniform_groups_keep_everything(spark):
+    from entity_linking_spark.operators import sampling as SMP
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(400)], "doc_id long, grp string"
+    )
+    assert SMP.mixture_sample(df, ["grp"], "doc_id").count() == 400
