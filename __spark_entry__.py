@@ -513,6 +513,17 @@ def q_quality_filter(spark, sf_dir):
     return TA.quality_filter(_docs(spark, sf_dir))
 
 
+_UNIGRAM_V = 24  # synthetic vocab is ~31 tokens: V=24 exercises real OOV mass
+
+
+def q_docs_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality signal: every document's mean token
+    log-probability under the corpus unigram model (top-V vocabulary
+    broadcast, OOV floored at ln(1/N)); the exploded corpus crosses one
+    exchange (`operators/textanalysis.py`)."""
+    return TA.unigram_logprob(_doc_records(spark, sf_dir), top_v=_UNIGRAM_V)
+
+
 def _doc_neardup_pairs(spark, sf_dir):
     """Memoized MinHash near-dup pairs over documents — consumed by both
     dedup_minhash and pair_tfidf_cosine."""
@@ -1227,7 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_agreement": q_clustering_agreement,
         # — training-data pipeline family —
         "text_stats": q_text_stats,
-        "quality_filter": q_quality_filter,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "repetition_stats": q_repetition_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1262,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "quality_filter": q_quality_filter,
         "dedup_jaccard": q_dedup_jaccard,
         "docs_split": q_docs_split,
         "docs_pack_stats": q_docs_pack_stats,
@@ -1734,6 +1746,7 @@ def _training_data_oracles() -> dict[str, str]:
             point_cols=["event_id", "user_id", "ts"],
             interval_cols=["session_idx"],
         ),
+        "docs_unigram_logprob": TA.unigram_logprob_sql(drecs, top_v=_UNIGRAM_V),
         "docs_pack_sequences": f"{with_recs} "
         + CUR.pack_sequences_sql("SELECT * FROM drecs", seq_len=_PACK_LEN),
         "docs_pack_stats": f"{with_recs} "

@@ -154,3 +154,112 @@ def quality_filter_sql(documents_rel: str = "documents", min_quality: float = 0.
         f"SELECT doc_id, lang_id, quality FROM ({doc_text_stats_sql(documents_rel)}) "
         f"WHERE quality >= {min_quality!r}"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM document scoring
+# ---------------------------------------------------------------------------
+
+UNIGRAM_BUCKETS = 64
+
+
+def unigram_vocab(records: DataFrame, top_v: int, n_buckets: int = UNIGRAM_BUCKETS) -> DataFrame:
+    """(token, tok_count): the exact top-`top_v` corpus tokens by
+    (count desc, token asc).
+
+    Two-phase exact top-V so no task ever sorts the whole vocabulary
+    (distinct tokens run to 10^8+ at web scale, and a single global
+    `row_number()` window is the 1-reducer pathology): per-hash-bucket
+    top-V windows over the partial-agg'd counts, then one bounded window
+    over the <= n_buckets x top_v survivors. The bucket hash only shapes
+    the plan — the selected set is the same for any bucketing, which is
+    why the DuckDB twin can use a plain ORDER BY ... LIMIT.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        records.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+    )
+    local = Window.partitionBy("_b").orderBy(F.desc("tok_count"), "token")
+    cand = (
+        counts.withColumn("_b", F.pmod(F.hash("token"), F.lit(n_buckets)))
+        .withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= top_v)
+    )
+    final = Window.orderBy(F.desc("tok_count"), "token")
+    return (
+        cand.withColumn("_rn2", F.row_number().over(final))
+        .filter(F.col("_rn2") <= top_v)
+        .select("token", "tok_count")
+    )
+
+
+def unigram_logprob(records: DataFrame, top_v: int = 4096) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob, oov_ratio): every document scored
+    under the corpus unigram language model — the CCNet-style LM quality
+    signal (docs whose tokens are improbable under the corpus distribution
+    are boilerplate/noise candidates), kept SQL-exact by using a unigram
+    model instead of an external LM.
+
+    In-vocabulary tokens score ln(count/N) with N the TOTAL corpus token
+    count (including out-of-vocabulary mass, so probabilities are honest);
+    tokens outside the top-`top_v` vocabulary score the floor ln(1/N).
+    Documents with zero tokens contribute no rows.
+
+    100 TB shape: the vocabulary (top_v rows) and the one-row total are
+    both BROADCAST, so the exploded corpus crosses exactly one exchange —
+    the final groupBy(doc_id). avg() is an order-dependent double sum,
+    rounded to 6dp like the rest of the float surface (risk documented in
+    `tfidf.py`).
+    """
+    toks = records.select("doc_id", F.explode("tokens").alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
+    totals = counts.agg(F.sum("tok_count").alias("n_total"))
+    vocab_lp = (
+        unigram_vocab(records, top_v)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.log(F.col("tok_count") / F.col("n_total")).alias("lp"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(vocab_lp), "token", "left")
+        .crossJoin(
+            F.broadcast(
+                totals.select(F.log(F.lit(1.0) / F.col("n_total")).alias("unk_lp"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lp"), F.col("unk_lp")).alias("lp"),
+            F.col("lp").isNull().cast("double").alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.avg("oov"), 6).alias("oov_ratio"),
+    )
+
+
+def unigram_logprob_sql(records_rel: str, top_v: int = 4096) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(tokens) AS token FROM ({records_rel})),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS tok_count
+               FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS n_total FROM counts),
+    vocab AS (SELECT token, ln(tok_count / n_total) AS lp
+              FROM counts, tot
+              ORDER BY tok_count DESC, token LIMIT {top_v})
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(coalesce(v.lp, (SELECT ln(1.0 / n_total) FROM tot))), 6)
+             AS avg_logprob,
+           round(avg(CASE WHEN v.lp IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS oov_ratio
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """

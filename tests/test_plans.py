@@ -258,3 +258,15 @@ def test_mixture_sample_fact_side_never_shuffled(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_vocab_broadcast(spark, sf_dir):
+    """LM scoring's 100 TB contract: the vocabulary and the corpus total
+    ship as broadcasts; the exploded corpus never sort-merge-joins."""
+    from entity_linking_spark.operators import dedup as D
+    from entity_linking_spark.operators import textanalysis as TA
+
+    recs = D.doc_records(load_table(spark, sf_dir, "documents"))
+    plan = _plan(TA.unigram_logprob(recs, top_v=24))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -514,3 +514,46 @@ def test_mixture_uniform_groups_keep_everything(spark):
         [(i, f"g{i % 4}") for i in range(400)], "doc_id long, grp string"
     )
     assert SMP.mixture_sample(df, ["grp"], "doc_id").count() == 400
+
+
+def test_unigram_logprob_exact_model(spark):
+    import math
+
+    from entity_linking_spark.operators import textanalysis as TA
+
+    docs = spark.createDataFrame(
+        [(0, "a a b", "s", "en"), (1, "c", "s", "en"), (2, "a b c", "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.unigram_logprob(D.doc_records(docs), top_v=2).collect()
+    }
+    # corpus: a=3, b=2, c=2, N=7; vocab(top 2 by count desc, token asc) = {a, b}
+    lp = {"a": math.log(3 / 7), "b": math.log(2 / 7)}
+    unk = math.log(1 / 7)
+    assert out[0]["oov_ratio"] == 0.0
+    assert abs(out[0]["avg_logprob"] - (2 * lp["a"] + lp["b"]) / 3) < 1e-6
+    assert out[1]["oov_ratio"] == 1.0
+    assert abs(out[1]["avg_logprob"] - unk) < 1e-6
+    assert abs(out[2]["avg_logprob"] - (lp["a"] + lp["b"] + unk) / 3) < 1e-6
+    assert abs(out[2]["oov_ratio"] - 1 / 3) < 1e-6
+
+
+def test_unigram_vocab_two_phase_matches_global_topv(spark):
+    """The bucketed two-phase top-V must equal the global ORDER BY ...
+    LIMIT selection for any bucket count."""
+    from entity_linking_spark.operators import textanalysis as TA
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i % 7)), "s", "en")
+         for i in range(1, 60)],
+        "doc_id long, text string, source string, lang string",
+    )
+    recs = D.doc_records(docs)
+    for nb in (1, 4, 64):
+        got = {
+            r["token"]
+            for r in TA.unigram_vocab(recs, top_v=3, n_buckets=nb).collect()
+        }
+        assert got == {"t0", "t1", "t2"}, (nb, got)
