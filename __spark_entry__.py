@@ -1183,6 +1183,48 @@ SELECT doc_id, concat_ws(' ', text,
 """
 
 
+def _url_enriched(spark, sf_dir):
+    """documents with deterministic synthetic URLs appended (the corpus
+    text carries none): one https URL per doc over 7 hosts, plus an http
+    URL over 3 hosts on every fourth doc."""
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("see https://host"),
+                (d % 7).cast("string"),
+                F.lit(".example.com/p/"),
+                d.cast("string"),
+            ),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit("http://www.site"), (d % 3).cast("string"), F.lit(".org")),
+            ),
+        ).alias("text"),
+    )
+
+
+_URL_ENRICHED_SQL = """
+SELECT doc_id, concat_ws(' ', text,
+    'see https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+        || CAST(doc_id AS VARCHAR),
+    CASE WHEN doc_id % 4 = 0
+         THEN 'http://www.site' || CAST(doc_id % 3 AS VARCHAR) || '.org' END
+) AS text FROM documents
+"""
+
+
+def q_docs_domain_stats(spark, sf_dir):
+    """C4-style provenance table: per-domain URL occurrences + distinct
+    docs over the deterministically URL-enriched corpus — the ranking a
+    curation pipeline uses to allowlist/block domains
+    (`operators/curation.py`)."""
+    return CUR.domain_stats(_url_enriched(spark, sf_dir))
+
+
 def q_docs_redact_pii(spark, sf_dir):
     """PII scrub (emails / IPv4 / long digit runs) — zero-shuffle
     expression chain over the deterministically PII-enriched corpus."""
@@ -1245,8 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_redact_pii": q_docs_redact_pii,
+        "docs_domain_stats": q_docs_domain_stats,
         "hll_distinct_docs": q_hll_distinct_docs,
-        "docs_sample": q_docs_sample,
         "docs_stratified_cap": q_docs_stratified_cap,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
@@ -1274,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
         "quality_filter": q_quality_filter,
+        "docs_sample": q_docs_sample,
         "dedup_jaccard": q_dedup_jaccard,
         "docs_split": q_docs_split,
         "docs_pack_stats": q_docs_pack_stats,
@@ -1760,6 +1803,7 @@ def _training_data_oracles() -> dict[str, str]:
             n=_DECON_N,
         ),
         "docs_redact_pii": CUR.redact_pii_sql(_PII_ENRICHED_SQL),
+        "docs_domain_stats": CUR.domain_stats_sql(_URL_ENRICHED_SQL),
         "hll_distinct_docs": SK.hll_distinct_sql(_DOCS_REL, "text", ["source"]),
         "hll_distinct_total": SK.hll_distinct_sql(_DOCS_REL, "text", []),
         "docs_sample": "SELECT doc_id, lang, source, n_chars FROM ("

@@ -307,3 +307,57 @@ def packing_stats_sql(packed_rel: str, seq_len: int = 512) -> str:
              AS BIGINT) AS straddling_docs
     FROM ({packed_rel})
     """
+
+
+# ---------------------------------------------------------------------------
+# URL / domain provenance analytics
+# ---------------------------------------------------------------------------
+
+# Java∩RE2-portable URL shape: scheme + host, optional path of unreserved
+# chars. Greedy, no lookaround.
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~%+/-]*)?"
+_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, url, domain): every URL occurrence in every document,
+    with its lowercased host. Narrow explode — no shuffle; the C4-style
+    provenance pass that feeds per-domain curation decisions."""
+    return df.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(text_col, F.lit(URL_RE), 0)).alias("url"),
+    ).withColumn("domain", F.lower(F.regexp_extract("url", _HOST_RE, 1)))
+
+
+def extract_urls_sql(rel: str, text_col: str = "text") -> str:
+    return f"""
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '{_HOST_RE}', 1)) AS domain
+    FROM (SELECT doc_id, unnest(regexp_extract_all({text_col}, '{URL_RE}'))
+            AS url
+          FROM ({rel}))
+    """
+
+
+def domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(domain, n_urls, n_docs): per-domain URL occurrences and distinct
+    documents — the table a curation pipeline ranks to allowlist/block
+    domains. One partial-agg'd groupBy on domain; count(distinct doc_id)
+    expands to the standard two-phase exact distinct."""
+    return (
+        extract_urls(df, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def domain_stats_sql(rel: str, text_col: str = "text") -> str:
+    return f"""
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ({extract_urls_sql(rel, text_col)})
+    GROUP BY domain
+    """

@@ -557,3 +557,26 @@ def test_unigram_vocab_two_phase_matches_global_topv(spark):
             for r in TA.unigram_vocab(recs, top_v=3, n_buckets=nb).collect()
         }
         assert got == {"t0", "t1", "t2"}, (nb, got)
+
+
+def test_extract_urls_and_domain_stats(spark):
+    from entity_linking_spark.operators import curation as CUR
+
+    rows = [
+        (0, "read https://A.Example.com/x/y and https://a.example.com/z ok"),
+        (1, "plain http://other.org no more"),
+        (2, "no links at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    urls = CUR.extract_urls(df).collect()
+    # host casing folds; path is part of the url, not the domain
+    assert {(r["doc_id"], r["domain"]) for r in urls} == {
+        (0, "a.example.com"), (1, "other.org")
+    }
+    assert sorted(r["url"] for r in urls if r["doc_id"] == 0) == [
+        "https://A.Example.com/x/y", "https://a.example.com/z"
+    ]
+    stats = {r["domain"]: r for r in CUR.domain_stats(df).collect()}
+    assert stats["a.example.com"]["n_urls"] == 2
+    assert stats["a.example.com"]["n_docs"] == 1
+    assert stats["other.org"]["n_urls"] == 1
