@@ -32,6 +32,8 @@ from entity_linking_spark.operators import conversations as CONV
 from entity_linking_spark.operators import curation as CUR
 from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
+from entity_linking_spark.operators import dsir as DSIR
+from entity_linking_spark.operators import embedcluster as EC
 from entity_linking_spark.operators import evaluation as EVAL
 from entity_linking_spark.operators import events as EV
 from entity_linking_spark.operators import graphwalk as GW
@@ -589,6 +591,38 @@ def q_ann_ivf(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     return SS.embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+def _kmeans(spark, sf_dir):
+    """Memoized (assignment, centroids) from the Lloyd's fit — shared by
+    the k-means audit and SemDeDup queries so the iterative passes run
+    once per session (same materialized-view rationale as _MEMO)."""
+    k = (spark.sparkContext.applicationId, sf_dir, "kmeans")
+    if k not in _MEMO:
+        assigned, cents = EC.kmeans_fit(_emb(spark, sf_dir))
+        _MEMO[k] = (assigned.cache(), cents)
+    return _MEMO[k]
+
+
+def q_embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means: broadcast-literal centroid scans +
+    one k-row partial-agg groupBy per pass — exact integer arithmetic
+    end to end (see operators/embedcluster.py)."""
+    assigned, cents = _kmeans(spark, sf_dir)
+    return EC.kmeans_stats(_emb(spark, sf_dir), assigned=assigned, cents=cents)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas 2023): cosine near-dup pairs searched only inside
+    each k-means cell; higher id of every hit marked dropped."""
+    assigned, _ = _kmeans(spark, sf_dir)
+    return EC.semdedup_drops(_emb(spark, sf_dir), assigned=assigned)
+
+
+def q_docs_dsir_score(spark, sf_dir):
+    """DSIR importance scores (Xie 2023): hashed-n-gram target/raw
+    log-ratio model inlined as a literal array — zero-shuffle scoring."""
+    return DSIR.dsir_scores(_docs(spark, sf_dir))
 
 
 def q_term_df(spark, sf_dir):
@@ -1284,7 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "doc_fingerprints": q_doc_fingerprints,
+        "docs_dsir_score": q_docs_dsir_score,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_redact_pii": q_docs_redact_pii,
         "docs_domain_stats": q_docs_domain_stats,
@@ -1295,11 +1329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_token_counts,
         "bloom_prune_orders": q_bloom_prune_orders,
         "events_value_quantiles": q_events_value_quantiles,
-        "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_kmeans": q_embedding_kmeans,
+        "semdedup": q_semdedup,
         "token_tfidf": q_token_tfidf,
-        "token_keyphraseness": q_token_keyphraseness,
         "milne_witten_relatedness": q_milne_witten,
         "multimodal_decode": q_multimodal_decode,
         # — graph walks + belief propagation —
@@ -1315,6 +1349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ann_bruteforce": q_ann_bruteforce,
+        "token_keyphraseness": q_token_keyphraseness,
         "quality_filter": q_quality_filter,
         "docs_sample": q_docs_sample,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1742,6 +1779,9 @@ def _training_data_oracles() -> dict[str, str]:
         "ann_lsh": SS.ann_lsh_topk_sql(_EMB_REL),
         "ann_ivf": SS.ann_ivf_topk_sql(_EMB_REL),
         "embedding_neardup": SS.embedding_neardup_pairs_sql(_EMB_REL),
+        "embedding_kmeans": EC.kmeans_stats_sql(_EMB_REL),
+        "semdedup": EC.semdedup_sql(_EMB_REL),
+        "docs_dsir_score": DSIR.dsir_scores_sql(_DOCS_REL),
         "term_df": f"{with_recs} {TFI.term_df_sql(recs)}",
         "token_tfidf": f"{with_recs} {TFI.token_tfidf_sql(recs)}",
         "token_tfidf_ref": f"{with_recs} {TFI.token_tfidf_ref_sql(recs)}",
