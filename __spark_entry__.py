@@ -32,6 +32,7 @@ from entity_linking_spark.operators import conversations as CONV
 from entity_linking_spark.operators import curation as CUR
 from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
+from entity_linking_spark.operators import bpe as BPE
 from entity_linking_spark.operators import dsir as DSIR
 from entity_linking_spark.operators import embedcluster as EC
 from entity_linking_spark.operators import evaluation as EVAL
@@ -623,6 +624,30 @@ def q_docs_dsir_score(spark, sf_dir):
     """DSIR importance scores (Xie 2023): hashed-n-gram target/raw
     log-ratio model inlined as a literal array — zero-shuffle scoring."""
     return DSIR.dsir_scores(_docs(spark, sf_dir))
+
+
+def _bpe(spark, sf_dir):
+    """Memoized (merge list, final vocab) — shared by the BPE queries so
+    the merge rounds run once per session."""
+    k = (spark.sparkContext.applicationId, sf_dir, "bpe")
+    if k not in _MEMO:
+        merges, vocab = BPE.learn_merges(_doc_records(spark, sf_dir))
+        _MEMO[k] = (merges, vocab.cache())
+    return _MEMO[k]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge learning (Sennrich 2016): the corpus crosses one
+    exchange (word counts); merge rounds run on the vocab table."""
+    merges, _ = _bpe(spark, sf_dir)
+    return BPE.bpe_merge_table(_doc_records(spark, sf_dir), merges=merges)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Learn + apply round trip: corpus token histogram under the
+    learned BPE merges."""
+    _, vocab = _bpe(spark, sf_dir)
+    return BPE.bpe_token_counts(_doc_records(spark, sf_dir), vocab=vocab)
 
 
 def q_term_df(spark, sf_dir):
@@ -1321,7 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_score": q_docs_dsir_score,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_redact_pii": q_docs_redact_pii,
-        "docs_domain_stats": q_docs_domain_stats,
+        "bpe_token_counts": q_bpe_token_counts,
         "hll_distinct_docs": q_hll_distinct_docs,
         "docs_stratified_cap": q_docs_stratified_cap,
         "docs_mixture_sample": q_docs_mixture_sample,
@@ -1349,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— gate cutoff (entries below are variants of gated operators,
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        "docs_domain_stats": q_docs_domain_stats,
+        "bpe_merges": q_bpe_merges,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_bruteforce": q_ann_bruteforce,
         "token_keyphraseness": q_token_keyphraseness,
@@ -1774,6 +1801,8 @@ def _training_data_oracles() -> dict[str, str]:
             + D.dedup_clusters_sql(recs, "SELECT * FROM nd_pairs")
         ),
         "repetition_stats": f"{with_recs} {TA.repetition_stats_sql(recs)}",
+        "bpe_merges": BPE.bpe_merge_table_sql(drecs),
+        "bpe_token_counts": BPE.bpe_token_counts_sql(drecs),
         "embed_signatures": SS.hyperplane_signatures_sql(_EMB_REL),
         "ann_bruteforce": SS.ann_bruteforce_topk_sql(_EMB_REL),
         "ann_lsh": SS.ann_lsh_topk_sql(_EMB_REL),
