@@ -88,7 +88,13 @@ def main() -> int:
     n_turns = counts["records"]
     prs = timed(
         "block_pairs",
-        lambda: P.block_pairs(build_blocks(records, cfg), cfg.block_cap).localCheckpoint(),
+        # materialize the capped block index once (the operators' own
+        # contract: pairs_from_capped over a checkpointed capped table —
+        # the signature+LSH+cap subtree must not be re-evaluated per
+        # self-join side), same as the driver entry's memoized _capped
+        lambda: P.pairs_from_capped(
+            P.cap_blocks(build_blocks(records, cfg), cfg.block_cap).localCheckpoint()
+        ).localCheckpoint(),
     )
     # CPU-sized partitions for the Arrow-UDF scoring stage: the pandas UDF
     # is compute-bound per row, so partition count must track cores, not

@@ -49,6 +49,10 @@ AUDIT = [
     "docs_sample",
     "docs_split",
     "docs_stratified_cap",
+    "embedding_kmeans",
+    "semdedup",
+    "docs_dsir_score",
+    "bpe_token_counts",
 ]
 
 
