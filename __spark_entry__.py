@@ -987,6 +987,25 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking: EXISTS as a LEFT SEMI join carrying a
+    non-equi late-shipment condition; quarter filter pushed to the scan."""
+    return REL.q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Q10 returned-item revenue: fact-fact join aggregated to per-customer
+    revenue BEFORE the customer/nation joins; exact integer-cents top-20."""
+    return REL.q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_conv_neardup(spark, sf_dir):
     """Whole-conversation near-dup: the document MinHash-LSH family run
     unchanged at the conversation grain (turn texts re-rolled per conv)."""
@@ -1419,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "tpch_q14_promo": q_tpch_q14,
         "tpch_q18_large_orders": q_tpch_q18,
+        "tpch_q4_order_priority": q_tpch_q4,
+        "tpch_q10_returned_items": q_tpch_q10,
         "conv_neardup": q_conv_neardup,
         "events_asof_orders": q_events_asof_orders,
     }
@@ -1914,6 +1935,15 @@ def _training_data_oracles() -> dict[str, str]:
         ),
         "tpch_q14_promo": REL.q14_promo_revenue_sql(
             "SELECT * FROM part", "SELECT * FROM lineitem"
+        ),
+        "tpch_q4_order_priority": REL.q4_order_priority_sql(
+            "SELECT * FROM orders", "SELECT * FROM lineitem"
+        ),
+        "tpch_q10_returned_items": REL.q10_returned_items_sql(
+            "SELECT * FROM customer",
+            "SELECT * FROM orders",
+            "SELECT * FROM lineitem",
+            "SELECT * FROM nation",
         ),
         "tpch_q18_large_orders": REL.q18_large_orders_sql(
             "SELECT * FROM customer", "SELECT * FROM orders", "SELECT * FROM lineitem"

@@ -308,3 +308,116 @@ def q18_large_orders_sql(
     ORDER BY totalprice_c DESC, o_orderdate ASC, o_orderkey ASC
     LIMIT 100
     """
+
+
+Q4_LO, Q4_HI = "1996-07-01", "1996-10-01"
+Q4_LATE_DAYS = 30
+Q10_LO, Q10_HI = "1997-01-01", "1997-04-01"
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 (adapted: no commit/receipt dates in this schema — "late"
+    means a line shipped > 30 days after the order date): per-priority
+    count of one quarter's orders having at least one late line.
+
+    Shape: the EXISTS becomes a LEFT SEMI join — the lineitem side is
+    never aggregated or widened, each qualifying order emits exactly one
+    row no matter how many late lines it has, and the quarter filter is
+    pushed to the orders scan. The semi join carries the non-equi ship-
+    vs-order-date condition alongside the key."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > o["o_orderdate"] + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q4_order_priority_sql(orders_rel: str, lineitem_rel: str) -> str:
+    return f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM ({orders_rel}) o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{Q4_HI} 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM ({lineitem_rel}) l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+      )
+    GROUP BY o_orderpriority
+    """
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. The quarter filter is pushed to the orders scan, the
+    returnflag filter to the lineitem scan; nation broadcasts (25 rows),
+    customer joins after the fact-fact join has already shrunk to the
+    returned-revenue aggregate's input. Revenue is exact integer
+    cents·percent, so the top-20 cut has no float-ordering ambiguity."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))).alias(
+            "rev_c2"
+        ),
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c2").alias("revenue_c2"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_c"),
+            F.col("n_name").alias("nation"),
+            "revenue_c2",
+        )
+        .orderBy(F.desc("revenue_c2"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q10_returned_items_sql(
+    customer_rel: str, orders_rel: str, lineitem_rel: str, nation_rel: str
+) -> str:
+    rev = (
+        _CENTS_SQL.format(x="l_extendedprice")
+        + " * (100 - "
+        + _CENTS_SQL.format(x="l_discount")
+        + ")"
+    )
+    acct = _CENTS_SQL.format(x="c_acctbal")
+    return f"""
+    SELECT c_custkey, c_name, {acct} AS acctbal_c, n_name AS nation,
+           CAST(sum({rev}) AS BIGINT) AS revenue_c2
+    FROM ({orders_rel}) o
+    JOIN ({lineitem_rel}) l ON o.o_orderkey = l.l_orderkey
+    JOIN ({customer_rel}) c ON o.o_custkey = c.c_custkey
+    JOIN ({nation_rel}) n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{Q10_HI} 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, {acct}, n_name
+    ORDER BY revenue_c2 DESC, c_custkey ASC
+    LIMIT 20
+    """

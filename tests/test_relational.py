@@ -89,3 +89,45 @@ def test_q18_large_orders_parity_and_plan(spark, duck, sf_dir):
         if p >= 0
     )
     assert agg_pos > first_join, "quantity agg should be below (after in text) the joins"
+
+
+def test_q4_order_priority_parity_and_semi_join(spark, duck, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    df = REL.q4_order_priority(orders, lineitem)
+    assert_spark_matches_duck(
+        df,
+        duck,
+        REL.q4_order_priority_sql("SELECT * FROM orders", "SELECT * FROM lineitem"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # EXISTS must stay a semi join (one row per qualifying order, the
+    # lineitem side never widens the output) with the quarter filter
+    # pushed into the orders scan
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q10_returned_items_parity_and_early_agg(spark, duck, sf_dir):
+    df = REL.q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    assert_spark_matches_duck(
+        df,
+        duck,
+        REL.q10_returned_items_sql(
+            "SELECT * FROM customer",
+            "SELECT * FROM orders",
+            "SELECT * FROM lineitem",
+            "SELECT * FROM nation",
+        ),
+    )
+    # revenue aggregates BEFORE the customer join: the first HashAggregate
+    # groups on o_custkey, and the customer join consumes the aggregate
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate")
+    cust_join_pos = plan.find("c_custkey")
+    assert agg_pos != -1 and cust_join_pos != -1
