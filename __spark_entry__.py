@@ -626,6 +626,12 @@ def q_docs_dsir_score(spark, sf_dir):
     return DSIR.dsir_scores(_docs(spark, sf_dir))
 
 
+def q_docs_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k importance resampling (Kool 2019 trick on the DSIR
+    weights): k docs w/o replacement ∝ exp(score), reproducible noise."""
+    return DSIR.dsir_resample(_docs(spark, sf_dir))
+
+
 def _bpe(spark, sf_dir):
     """Memoized (merge list, final vocab) — shared by the BPE queries so
     the merge rounds run once per session."""
@@ -1394,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
         "docs_domain_stats": q_docs_domain_stats,
+        "docs_dsir_sample": q_docs_dsir_sample,
         "bpe_merges": q_bpe_merges,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1832,6 +1839,7 @@ def _training_data_oracles() -> dict[str, str]:
         "embedding_kmeans": EC.kmeans_stats_sql(_EMB_REL),
         "semdedup": EC.semdedup_sql(_EMB_REL),
         "docs_dsir_score": DSIR.dsir_scores_sql(_DOCS_REL),
+        "docs_dsir_sample": DSIR.dsir_resample_sql(_DOCS_REL),
         "term_df": f"{with_recs} {TFI.term_df_sql(recs)}",
         "token_tfidf": f"{with_recs} {TFI.token_tfidf_sql(recs)}",
         "token_tfidf_ref": f"{with_recs} {TFI.token_tfidf_ref_sql(recs)}",

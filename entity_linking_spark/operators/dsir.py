@@ -211,3 +211,79 @@ def dsir_scores_sql(
     LEFT JOIN dsir_model m ON e.b = m.b
     GROUP BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Gumbel top-k importance resampling
+# ---------------------------------------------------------------------------
+
+RESAMPLE_SEED = 101
+RESAMPLE_K = 64
+
+
+def dsir_resample(
+    documents: DataFrame,
+    k: int = RESAMPLE_K,
+    target_pred: Column | None = None,
+    model: list[int] | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+    resample_seed: int = RESAMPLE_SEED,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(doc_id, lang, gumbel_key, rank): the DSIR paper's sampling step —
+    k documents drawn WITHOUT replacement with probability ∝ exp(score)
+    via the Gumbel-top-k trick (Kool et al. 2019, public): key_i =
+    log-weight_i + Gumbel_i, take the k largest. The Gumbel noise is
+    deterministic (hash60 of doc_id → uniform in (0,1] → -ln(-ln(u))),
+    so the draw is reproducible under any partitioning and replayable by
+    the oracle.
+
+    Scale shape: scoring is the zero-shuffle scan above; the global
+    top-k is a sort-limit (per-partition top-k, k rows to one reducer —
+    never a full sort). Selection orders by the UNROUNDED key; only the
+    output column is rounded."""
+    scored = dsir_scores(
+        documents, target_pred, model, n_buckets, seed, hash_mode
+    )
+    u = (hash60(F.col("doc_id"), resample_seed, hash_mode) + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    key = F.col("dsir_score_micro") / F.lit(1_000_000.0) - F.log(-F.log(u))
+    ranked = (
+        scored.select("doc_id", "lang", key.alias("_key"))
+        .orderBy(F.desc("_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_key"), F.asc("doc_id"))
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("_key"), 6).alias("gumbel_key"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def dsir_resample_sql(
+    documents_rel: str = "documents",
+    k: int = RESAMPLE_K,
+    target_where: str = "lang = 'en'",
+    n_buckets: int = DSIR_BUCKETS,
+    seed: int = DSIR_SEED,
+    resample_seed: int = RESAMPLE_SEED,
+) -> str:
+    scores = dsir_scores_sql(documents_rel, target_where, n_buckets, seed)
+    u = f"(({hash60_sql('doc_id', resample_seed)} + 1) / {float(1 << 60)!r})"
+    key = f"(dsir_score_micro / 1000000.0 - ln(-ln({u})))"
+    return f"""
+    SELECT doc_id, lang, round(_key, 6) AS gumbel_key,
+           CAST(row_number() OVER (ORDER BY _key DESC, doc_id ASC) AS INT) AS rank
+    FROM (
+      SELECT doc_id, lang, {key} AS _key
+      FROM ({scores})
+      ORDER BY _key DESC, doc_id ASC
+      LIMIT {k}
+    )
+    """

@@ -85,3 +85,30 @@ def test_scoring_plan_zero_shuffle(spark, corpus):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_resample_biases_toward_target(spark, corpus):
+    out = DSIR.dsir_resample(corpus, k=20).collect()
+    assert len(out) == 20
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, 21))
+    # en docs carry ~+200k micronat scores vs ~-200k for zh: with Gumbel
+    # noise of O(1) nats the selection must be essentially all-target
+    langs = [r["lang"] for r in out]
+    assert langs.count("en") >= 18
+
+
+def test_resample_partition_invariant(spark, corpus):
+    model = DSIR.dsir_model(corpus, F.col("lang") == "en")
+    s1 = [tuple(r) for r in DSIR.dsir_resample(corpus, k=15, model=model).collect()]
+    s2 = [
+        tuple(r)
+        for r in DSIR.dsir_resample(corpus.repartition(11), k=15, model=model).collect()
+    ]
+    assert s1 == s2
+
+
+def test_resample_keys_are_descending_and_distinct_docs(spark, corpus):
+    out = DSIR.dsir_resample(corpus, k=25).orderBy("rank").collect()
+    keys = [r["gumbel_key"] for r in out]
+    assert keys == sorted(keys, reverse=True)
+    assert len({r["doc_id"] for r in out}) == len(out)
