@@ -620,16 +620,58 @@ def q_semdedup(spark, sf_dir):
     return EC.semdedup_drops(_emb(spark, sf_dir), assigned=assigned)
 
 
+def _dsir_model(spark, sf_dir):
+    """Memoized DSIR bucket model (512 ints) — built once per session,
+    shared by the scoring and resampling queries; honours CFG.hash_mode
+    (portable for the oracle gate, xxhash64 in the bench path — the
+    model is self-consistent under either hash)."""
+    k = (spark.sparkContext.applicationId, sf_dir, CFG.hash_mode, "dsir_model")
+    if k not in _MEMO:
+        _MEMO[k] = DSIR.dsir_model(
+            _docs(spark, sf_dir), F.col("lang") == "en", hash_mode=CFG.hash_mode
+        )
+    return _MEMO[k]
+
+
 def q_docs_dsir_score(spark, sf_dir):
     """DSIR importance scores (Xie 2023): hashed-n-gram target/raw
     log-ratio model inlined as a literal array — zero-shuffle scoring."""
-    return DSIR.dsir_scores(_docs(spark, sf_dir))
+    return DSIR.dsir_scores(
+        _docs(spark, sf_dir),
+        model=_dsir_model(spark, sf_dir),
+        hash_mode=CFG.hash_mode,
+    )
+
+
+def q_docs_curated(spark, sf_dir):
+    """End-to-end curation verdict: quality, exact-dup, near-dup,
+    decontamination, and mixture-sampling flags per document, ANDed into
+    `kept` — the lineage table a curation pass writes
+    (`operators/curation.py:curated_docs`)."""
+    return CUR.curated_docs(
+        _docs(spark, sf_dir),
+        _doc_records(spark, sf_dir),
+        _doc_neardup_pairs(spark, sf_dir),
+        decon_n=_DECON_N,
+        min_quality=_CURATE_QUALITY,
+        hash_mode=CFG.hash_mode,
+    )
+
+
+# the synthetic corpus' Gopher-style quality scores centre near 0.14
+# (median); 0.1 keeps ~70% — the realistic "drop the worst tail" setting
+# (0.5 would keep 9/500 and make every downstream flag invisible)
+_CURATE_QUALITY = 0.1
 
 
 def q_docs_dsir_sample(spark, sf_dir):
     """Gumbel-top-k importance resampling (Kool 2019 trick on the DSIR
     weights): k docs w/o replacement ∝ exp(score), reproducible noise."""
-    return DSIR.dsir_resample(_docs(spark, sf_dir))
+    return DSIR.dsir_resample(
+        _docs(spark, sf_dir),
+        model=_dsir_model(spark, sf_dir),
+        hash_mode=CFG.hash_mode,
+    )
 
 
 def _bpe(spark, sf_dir):
@@ -1373,7 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact_pii": q_docs_redact_pii,
         "bpe_token_counts": q_bpe_token_counts,
         "hll_distinct_docs": q_hll_distinct_docs,
-        "docs_stratified_cap": q_docs_stratified_cap,
+        "docs_curated": q_docs_curated,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
         "cms_token_counts": q_cms_token_counts,
@@ -1400,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     still oracle-checked in the pytest parity suite) ———
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
         "docs_domain_stats": q_docs_domain_stats,
+        "docs_stratified_cap": q_docs_stratified_cap,
         "docs_dsir_sample": q_docs_dsir_sample,
         "bpe_merges": q_bpe_merges,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1829,6 +1872,13 @@ def _training_data_oracles() -> dict[str, str]:
             + D.dedup_clusters_sql(recs, "SELECT * FROM nd_pairs")
         ),
         "repetition_stats": f"{with_recs} {TA.repetition_stats_sql(recs)}",
+        "docs_curated": CUR.curated_docs_sql(
+            _DOCS_REL,
+            drecs,
+            D.minhash_neardup_pairs_sql(drecs),
+            decon_n=_DECON_N,
+            min_quality=_CURATE_QUALITY,
+        ),
         "bpe_merges": BPE.bpe_merge_table_sql(drecs),
         "bpe_token_counts": BPE.bpe_token_counts_sql(drecs),
         "embed_signatures": SS.hyperplane_signatures_sql(_EMB_REL),

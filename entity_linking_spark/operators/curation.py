@@ -361,3 +361,144 @@ def domain_stats_sql(rel: str, text_col: str = "text") -> str:
     FROM ({extract_urls_sql(rel, text_col)})
     GROUP BY domain
     """
+
+
+# ---------------------------------------------------------------------------
+# composed curation verdict
+# ---------------------------------------------------------------------------
+
+
+def curated_docs(
+    documents: DataFrame,
+    records: DataFrame,
+    neardup_pairs: DataFrame,
+    eval_mod: int = 20,
+    decon_n: int = 3,
+    min_quality: float = 0.5,
+    mix_group: str = "lang",
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(doc_id, lang, source, quality_ok, exact_keep, neardup_keep,
+    is_eval, decon_ok, mixture_keep, kept): the end-to-end curation
+    verdict — every stage of the pipeline (quality filter, exact dedup,
+    near-dup closure, benchmark decontamination, sqrt-temperature source
+    mixing) as an audit flag per document, ANDed into the final `kept`.
+    This is the lineage table a production pass writes next to the
+    curated corpus: each drop is attributable to its stage.
+
+    Plan shape: each flag source keeps its own operator's topology
+    (zero-shuffle scans for quality/mixture, one groupBy for exact,
+    bucketed LSH + CC for near-dup, broadcast n-grams for decon); the
+    final assembly is doc_id equi-joins that co-partition after the
+    first exchange. All flags are 0/1 ints so the verdict is hashable
+    bit-for-bit. The doc_id % eval_mod slice stands in for the held-out
+    benchmark: those rows are excluded (`is_eval`), matching the
+    `docs_decontaminate` query's convention."""
+    from . import dedup as D
+    from . import sampling as SMP
+    from . import textanalysis as TA
+
+    quality = TA.doc_text_stats(documents).select(
+        "doc_id", (F.col("quality") >= F.lit(min_quality)).cast("int").alias("quality_ok")
+    )
+    exact = D.exact_dup_groups(records).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("exact_keep"),
+    )
+    nd = D.dedup_clusters(records, neardup_pairs).select(
+        "doc_id", (1 - F.col("is_dup")).cast("int").alias("neardup_keep")
+    )
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    decon = decontaminate(
+        records.filter(~is_eval), records.filter(is_eval), n=decon_n
+    ).select("doc_id", (~F.col("flagged")).cast("int").alias("decon_ok"))
+    mix = SMP.mixture_sample(
+        documents, [mix_group], "doc_id", hash_mode=hash_mode
+    ).select("doc_id", F.lit(1).alias("mixture_keep"))
+    out = (
+        documents.select("doc_id", "lang", "source", is_eval.cast("int").alias("is_eval"))
+        .join(quality, "doc_id")
+        .join(exact, "doc_id")
+        .join(nd, "doc_id")
+        .join(decon, "doc_id", "left")
+        .join(mix, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "quality_ok",
+            "exact_keep",
+            "neardup_keep",
+            "is_eval",
+            F.coalesce(F.col("decon_ok"), F.lit(0)).alias("decon_ok"),
+            F.coalesce(F.col("mixture_keep"), F.lit(0)).alias("mixture_keep"),
+        )
+    )
+    kept = (
+        (F.col("quality_ok") == 1)
+        & (F.col("exact_keep") == 1)
+        & (F.col("neardup_keep") == 1)
+        & (F.col("is_eval") == 0)
+        & (F.col("decon_ok") == 1)
+        & (F.col("mixture_keep") == 1)
+    )
+    return out.withColumn("kept", kept.cast("int"))
+
+
+def curated_docs_sql(
+    documents_rel: str,
+    records_rel: str,
+    pairs_rel: str,
+    eval_mod: int = 20,
+    decon_n: int = 3,
+    min_quality: float = 0.5,
+    mix_group: str = "lang",
+) -> str:
+    from .dedup import dedup_clusters_sql, exact_dup_groups_sql
+    from .sampling import mixture_sample_sql
+    from .textanalysis import doc_text_stats_sql
+
+    return f"""
+    WITH cd_quality AS (
+      SELECT doc_id, CAST(quality >= {min_quality!r} AS INT) AS quality_ok
+      FROM ({doc_text_stats_sql(documents_rel)})
+    ),
+    cd_exact AS (
+      SELECT doc_id, CAST(doc_id = keeper_id AS INT) AS exact_keep
+      FROM ({exact_dup_groups_sql(records_rel)})
+    ),
+    cd_nd AS (
+      SELECT doc_id, CAST(1 - is_dup AS INT) AS neardup_keep
+      FROM ({dedup_clusters_sql(records_rel, pairs_rel)})
+    ),
+    cd_decon AS (
+      SELECT doc_id, CAST(NOT flagged AS INT) AS decon_ok
+      FROM ({decontaminate_sql(
+          f"SELECT * FROM ({records_rel}) WHERE doc_id % {eval_mod} <> 0",
+          f"SELECT * FROM ({records_rel}) WHERE doc_id % {eval_mod} = 0",
+          decon_n,
+      )})
+    ),
+    cd_mix AS (
+      SELECT doc_id, 1 AS mixture_keep
+      FROM ({mixture_sample_sql(documents_rel, [mix_group], "doc_id")})
+    ),
+    cd_base AS (
+      SELECT doc_id, lang, source,
+             CAST(doc_id % {eval_mod} = 0 AS INT) AS is_eval
+      FROM ({documents_rel})
+    )
+    SELECT b.doc_id, b.lang, b.source,
+           q.quality_ok, e.exact_keep, n.neardup_keep, b.is_eval,
+           coalesce(d.decon_ok, 0) AS decon_ok,
+           coalesce(m.mixture_keep, 0) AS mixture_keep,
+           CAST(q.quality_ok = 1 AND e.exact_keep = 1 AND n.neardup_keep = 1
+                AND b.is_eval = 0 AND coalesce(d.decon_ok, 0) = 1
+                AND coalesce(m.mixture_keep, 0) = 1 AS INT) AS kept
+    FROM cd_base b
+    JOIN cd_quality q USING (doc_id)
+    JOIN cd_exact e USING (doc_id)
+    JOIN cd_nd n USING (doc_id)
+    LEFT JOIN cd_decon d USING (doc_id)
+    LEFT JOIN cd_mix m USING (doc_id)
+    """

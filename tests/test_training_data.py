@@ -580,3 +580,41 @@ def test_extract_urls_and_domain_stats(spark):
     assert stats["a.example.com"]["n_urls"] == 2
     assert stats["a.example.com"]["n_docs"] == 1
     assert stats["other.org"]["n_urls"] == 1
+
+
+def test_docs_curated_flags_consistent(spark, duck, sf_dir):
+    """The composed verdict equals its components and `kept` is exactly
+    the AND of the stage flags; the eval slice is never kept."""
+    import __spark_entry__ as m
+
+    from entity_linking_spark.sources.tables import load_table
+
+    df = m.queries()["docs_curated"](spark, sf_dir)
+    rows = df.collect()
+    # one verdict row per document, none dropped or duplicated
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for r in rows:
+        flags = (
+            r["quality_ok"],
+            r["exact_keep"],
+            r["neardup_keep"],
+            1 - r["is_eval"],
+            r["decon_ok"],
+            r["mixture_keep"],
+        )
+        assert all(f in (0, 1) for f in flags)
+        assert r["kept"] == int(all(f == 1 for f in flags))
+        if r["is_eval"] == 1:
+            assert r["kept"] == 0
+    # every stage contributes at this corpus + threshold (guards against
+    # a flag silently degenerating to all-ones/all-zeros)
+    import collections
+
+    sums = collections.Counter()
+    for r in rows:
+        for k in ("quality_ok", "neardup_keep", "is_eval", "decon_ok", "mixture_keep"):
+            sums[k] += r[k]
+    n = len(rows)
+    for k, s in sums.items():
+        assert 0 < s < n, (k, s, n)
