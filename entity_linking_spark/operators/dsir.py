@@ -146,20 +146,26 @@ def dsir_scores(
         if target_pred is None:
             target_pred = F.col("lang") == "en"
         model = dsir_model(documents, target_pred, n_buckets, seed, hash_mode)
-    arr = F.array(*[F.lit(int(v)).cast("long") for v in model])
+    # ONE array literal (F.lit on the list), not CreateArray of 512 lit
+    # nodes: the latter is re-materialized per evaluated element inside
+    # the lambda (measured ~30µs/feature — 45s for a 1.5MB corpus); the
+    # literal is a single constant the fold just indexes into.
+    arr = F.lit([int(v) for v in model]).cast("array<bigint>")
     feats = features_col(F.col("text"))
     score = F.aggregate(
         F.transform(
-            feats,
+            F.col("_feats"),
             lambda t: F.element_at(arr, (bucket_col(t, n_buckets, seed, hash_mode) + 1).cast("int")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     return documents.select(
+        "doc_id", "lang", feats.alias("_feats")
+    ).select(
         "doc_id",
         "lang",
-        F.size(feats).alias("n_feats"),
+        F.size("_feats").alias("n_feats"),
         score.alias("dsir_score_micro"),
     )
 

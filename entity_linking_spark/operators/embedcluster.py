@@ -71,8 +71,10 @@ def _scaled_cols_sql(emb: str, dim: int = DIM) -> str:
 
 def _dist_to(x: Column, cent: list[int]) -> Column:
     """Exact integer squared L2 distance to one literal centroid: strict
-    left fold, stays in codegen (no join, no UDF)."""
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    left fold, stays in codegen (no join, no UDF). The centroid is ONE
+    array literal (F.lit on the list) — CreateArray of 64 lit nodes
+    would be re-materialized per row per cell."""
+    carr = F.lit([int(v) for v in cent]).cast("array<bigint>")
     sq = F.zip_with(x, carr, lambda a, b: (a - b) * (a - b))
     return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
