@@ -79,7 +79,9 @@ def plane_constants(
 
 
 def _plane_dot_col(emb: Column, plane: list[float]) -> Column:
-    plane_arr = F.array(*[F.lit(w) for w in plane])
+    # one array literal, not CreateArray of 64 lit nodes (the latter is
+    # rebuilt per row per plane — same fix as embedcluster/dsir)
+    plane_arr = F.lit([float(w) for w in plane])
     prods = F.zip_with(emb, plane_arr, lambda x, w: x.cast("double") * w)
     return F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
 
