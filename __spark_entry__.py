@@ -53,7 +53,7 @@ from entity_linking_spark.plans.pipeline import (
     LinkingConfig,
     build_blocks,
 )
-from entity_linking_spark.sources.tables import load_table
+from entity_linking_spark.sources.tables import ensure_scan_parallelism, load_table
 from entity_linking_spark.sources.transcripts import (
     derive_transcripts,
     derive_transcripts_sql,
@@ -84,7 +84,9 @@ def _memo(spark: SparkSession, sf_dir: str, key: str, build):
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return derive_transcripts(load_table(spark, sf_dir, "documents"))
+    return derive_transcripts(
+        ensure_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
+    )
 
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +454,10 @@ _EMB_REL = "SELECT * FROM embeddings"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # scan floor: the sandbox sf tables are single-row-group files (one
+    # split → one task), which would serialize every tokenize/hash/HOF
+    # expression over the corpus on one core; a no-op at real scale.
+    return ensure_scan_parallelism(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +467,7 @@ def _doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return ensure_scan_parallelism(spark, load_table(spark, sf_dir, "embeddings"))
 
 
 def _doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:

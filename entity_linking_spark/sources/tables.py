@@ -27,3 +27,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if fmt == "iceberg":  # production path (cluster with Iceberg catalog)
         return spark.read.format("iceberg").load(f"{sf_dir}.{name}")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ensure_scan_parallelism(
+    spark: SparkSession, df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Compute-parallelism floor for small-file scans.
+
+    A parquet scan parallelizes at file-split granularity, and a split
+    cannot cross a row-group boundary — so a table stored as one small
+    file (one row group) is ONE task, and every CPU-bound expression
+    evaluated in that scan stage (normalize + tokenize + hash +
+    higher-order-function folds) runs on one core no matter how many the
+    session has. At production scale a table is thousands of splits and
+    this is a no-op (the condition never fires, no exchange is added);
+    below the floor it pays one tiny hash exchange (KBs here) to let the
+    expression work use the whole machine. Callers on the narrow-plan
+    hot path (plan tests pin scan+project shapes) simply don't opt in.
+    """
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
