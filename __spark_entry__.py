@@ -703,6 +703,14 @@ def q_bpe_token_counts(spark, sf_dir):
     return BPE.bpe_token_counts(_doc_records(spark, sf_dir), vocab=vocab)
 
 
+def q_bpe_doc_tokens(spark, sf_dir):
+    """Per-document token budget under the learned tokenizer: explode +
+    broadcast join against the vocab's subword lengths + one groupBy —
+    the packing/pricing input of a training pipeline."""
+    _, vocab = _bpe(spark, sf_dir)
+    return BPE.bpe_doc_tokens(_doc_records(spark, sf_dir), vocab=vocab)
+
+
 def q_term_df(spark, sf_dir):
     return TFI.term_df(_doc_records(spark, sf_dir))
 
@@ -1450,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_cap": q_docs_stratified_cap,
         "docs_dsir_sample": q_docs_dsir_sample,
         "bpe_merges": q_bpe_merges,
+        "bpe_doc_tokens": q_bpe_doc_tokens,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_bruteforce": q_ann_bruteforce,
         "token_keyphraseness": q_token_keyphraseness,
@@ -1886,6 +1895,7 @@ def _training_data_oracles() -> dict[str, str]:
         ),
         "bpe_merges": BPE.bpe_merge_table_sql(drecs),
         "bpe_token_counts": BPE.bpe_token_counts_sql(drecs),
+        "bpe_doc_tokens": BPE.bpe_doc_tokens_sql(drecs),
         "embed_signatures": SS.hyperplane_signatures_sql(_EMB_REL),
         "ann_bruteforce": SS.ann_bruteforce_topk_sql(_EMB_REL),
         "ann_lsh": SS.ann_lsh_topk_sql(_EMB_REL),

@@ -117,6 +117,13 @@ def learn_merges(
                 F.col("sym"), F.lit(f" {pair} "), F.lit(f" {merged} ")
             ),
         )
+        # Bound the replace-layer lineage: each round stacks one more
+        # expression over the checkpointed v0, so a real vocab run
+        # (30k merges) would otherwise re-evaluate O(n²) replace layers
+        # across the rounds' argmax jobs. Never triggers at the default
+        # 6-merge setting (results are identical either way).
+        if step % 8 == 0:
+            vocab = vocab.localCheckpoint()
     return merges, vocab
 
 
@@ -157,6 +164,35 @@ def bpe_token_counts(
     )
 
 
+def bpe_doc_tokens(
+    records: DataFrame,
+    n_merges: int = BPE_MERGES,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens): per-document token-budget accounting
+    under the learned merges — the input every packing / pricing /
+    curriculum stage needs ("how many tokens is this document under OUR
+    tokenizer", not whitespace words). The vocabulary table carries each
+    word's subword length, so the corpus side is one explode + one join
+    against that small dimension (broadcast: |V| rows vs corpus tokens;
+    at a 10^7-word web vocab drop the hint and it is still a
+    vocab-sized shuffle dim) + one groupBy on doc_id. Integer-exact."""
+    if vocab is None:
+        _, vocab = learn_merges(records, n_merges)
+    lens = vocab.select(
+        "word", F.size(F.split(F.trim(F.col("sym")), " ")).alias("tok_len")
+    )
+    return (
+        records.select("doc_id", F.explode("tokens").alias("word"))
+        .join(F.broadcast(lens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("tok_len").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (unrolled merge rounds as CTEs)
 # ---------------------------------------------------------------------------
@@ -193,6 +229,21 @@ def bpe_merge_table_sql(records_rel: str, n_merges: int = BPE_MERGES) -> str:
         for k in range(1, n_merges + 1)
     )
     return f"WITH {chain} {selects}"
+
+
+def bpe_doc_tokens_sql(records_rel: str, n_merges: int = BPE_MERGES) -> str:
+    chain, final = _chain_sql(records_rel, n_merges)
+    return f"""
+    WITH {chain},
+    bpe_lens AS (SELECT word, len(string_split(trim(sym), ' ')) AS tok_len
+                 FROM {final})
+    SELECT r.doc_id, count(*) AS n_words,
+           CAST(sum(l.tok_len) AS BIGINT) AS n_tokens
+    FROM (SELECT d.doc_id, t.word
+          FROM ({records_rel}) d, unnest(d.tokens) AS t(word)) r
+    JOIN bpe_lens l USING (word)
+    GROUP BY r.doc_id
+    """
 
 
 def bpe_token_counts_sql(records_rel: str, n_merges: int = BPE_MERGES) -> str:

@@ -57,6 +57,21 @@ def test_character_mass_is_conserved(spark, corpus):
     assert mass(before) == mass(after)
 
 
+def test_doc_tokens_budget(spark, corpus):
+    """Per-doc token accounting under a vocab learned elsewhere: bun is
+    2 subwords (' b un ') after 6 merges, everything else merges whole."""
+    _, vocab = BPE.learn_merges(corpus, n_merges=6)
+    docs = spark.createDataFrame(
+        [(1, ["hug", "hug", "pun"]), (2, ["bun", "hugs"])],
+        "doc_id long, tokens array<string>",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in BPE.bpe_doc_tokens(docs, vocab=vocab).collect()
+    }
+    assert out == {1: (3, 3), 2: (2, 3)}
+
+
 def test_learning_stops_when_no_pairs_remain(spark, corpus):
     # 6 merges exhaust every multi-symbol word except bun's final pair;
     # asking for 20 learns exactly one more ('b un') then stops
