@@ -513,6 +513,13 @@ def q_dup_spans(spark, sf_dir):
     )
 
 
+def q_docs_strip_dup_spans(spark, sf_dir):
+    """ExactSubstr-style span excision (Lee et al. 2022): cut every
+    sampled cross-document duplicated span out of every non-keeper
+    document; text rebuilt from complement segments by pure expressions."""
+    return D.strip_dup_spans(_doc_records(spark, sf_dir), hash_mode=CFG.hash_mode)
+
+
 def q_text_stats(spark, sf_dir):
     return TA.doc_text_stats(_docs(spark, sf_dir))
 
@@ -1459,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_sample": q_docs_dsir_sample,
         "bpe_merges": q_bpe_merges,
         "bpe_doc_tokens": q_bpe_doc_tokens,
+        "docs_strip_dup_spans": q_docs_strip_dup_spans,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_bruteforce": q_ann_bruteforce,
         "token_keyphraseness": q_token_keyphraseness,
@@ -1881,6 +1889,9 @@ def _training_data_oracles() -> dict[str, str]:
             f"{with_recs}, fps AS ({D.doc_fingerprints_sql(recs)}) "
             + D.duplicated_spans_sql("SELECT * FROM fps")
         ),
+        # strip_dup_spans_sql carries its own WITH chain, so it embeds the
+        # records SELECT directly instead of the shared drecs CTE
+        "docs_strip_dup_spans": D.strip_dup_spans_sql(drecs),
         "dedup_clusters": (
             f"{with_recs}, nd_pairs AS ({D.minhash_neardup_pairs_sql(recs)}) "
             + D.dedup_clusters_sql(recs, "SELECT * FROM nd_pairs")

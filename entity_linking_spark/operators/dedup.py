@@ -22,7 +22,7 @@ Manber 1994 (mod-p fingerprint sampling), MMDS ch.3 (banded LSH).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -495,6 +495,181 @@ def duplicated_spans_sql(fingerprints_rel: str, min_docs: int = 2) -> str:
     FROM ({fingerprints_rel})
     GROUP BY fp
     HAVING count(*) >= {min_docs}
+    """
+
+
+def doc_fingerprints_pos(
+    records: DataFrame,
+    shingle: int = FP_SHINGLE,
+    mod: int = FP_MOD,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(doc_id, pos, fp): positioned variant of `doc_fingerprints` — the
+    1-based start offset of each sampled shingle is kept so a span editor
+    can locate (not just count) duplicated regions. NOT distinct: the
+    same shingle at two offsets is two rows, because both offsets may
+    need excision. Same narrow explode-filter shape; the shuffle-free
+    scan emits ~len/mod rows per document."""
+    hash_col = H.portable_hash_col if hash_mode == "portable" else H.fast_hash_col
+    return (
+        records.select(
+            "doc_id",
+            F.posexplode(Tk.char_ngrams_col(F.col("norm_text"), shingle)).alias(
+                "idx", "sh"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).alias("pos"),
+            hash_col(F.col("sh")).alias("fp"),
+        )
+        .filter(F.pmod(F.col("fp"), F.lit(mod)) == 0)
+    )
+
+
+def strip_dup_spans(
+    records: DataFrame,
+    shingle: int = FP_SHINGLE,
+    mod: int = FP_MOD,
+    min_docs: int = 2,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(doc_id, clean_text, n_spans, n_removed): ExactSubstr-style span
+    EXCISION (Lee et al. 2022 remove the duplicated substring, not the
+    document). Sampled semantics: a span is a fingerprinted shingle
+    (`doc_fingerprints_pos`) shared by >= `min_docs` distinct documents;
+    the minimum doc_id holding it keeps its copy, every other document
+    has [pos, pos+shingle-1] cut out. Overlapping cuts coalesce before
+    excision (n_spans counts coalesced islands), so output text is the
+    ordered concatenation of the complement segments. mod=1 makes the
+    sample exhaustive (every offset fingerprinted) — the exact
+    suffix-array semantics at explode-factor cost; the default mod keeps
+    one row per ~mod chars, the production rate.
+
+    Scale shape: two fp-keyed shuffles (the dup-fp aggregate is
+    partial-agg'd so a ubiquitous span arrives as one row per map side),
+    then everything is doc_id-local: the interval window partitions by
+    doc_id and orders ~len/mod sampled offsets per doc — bounded by
+    document length, never by corpus hotness. The complement rebuild is
+    pure expressions (substr + array_sort fold), no Python, no explode
+    of text. A sentinel interval at len+1 per document closes the tail
+    segment so untouched documents flow through the same plan."""
+    base = records.select(
+        "doc_id", "norm_text", F.length("norm_text").alias("doc_len")
+    )
+    fps = doc_fingerprints_pos(records, shingle, mod, hash_mode)
+    dup = (
+        fps.groupBy("fp")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    loc = (
+        fps.join(dup, "fp")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + (shingle - 1)).alias("e"),
+        )
+    )
+    sentinel = base.select(
+        "doc_id",
+        (F.col("doc_len") + 1).alias("s"),
+        (F.col("doc_len") + 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = (
+        loc.unionByName(sentinel)
+        .withColumn("prev_e", F.coalesce(F.max("e").over(w_prev), F.lit(0)))
+        .withColumn("island", (F.col("s") > F.col("prev_e")).cast("long"))
+    )
+    seg = iv.join(base, "doc_id").select(
+        "doc_id",
+        "island",
+        (F.col("prev_e") + 1).alias("g"),
+        F.col("norm_text")
+        .substr(
+            F.col("prev_e") + 1, F.greatest(F.col("s") - F.col("prev_e") - 1, F.lit(0))
+        )
+        .alias("seg"),
+    )
+    agg = seg.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "seg"))),
+                lambda x: x["seg"],
+            ),
+            "",
+        ).alias("clean_text"),
+        (F.sum("island") - 1).cast("long").alias("n_spans"),
+    )
+    return agg.join(base, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_spans",
+        (F.col("doc_len") - F.length("clean_text")).cast("long").alias("n_removed"),
+    )
+
+
+def strip_dup_spans_sql(
+    records_rel: str,
+    shingle: int = FP_SHINGLE,
+    mod: int = FP_MOD,
+    min_docs: int = 2,
+) -> str:
+    h = H.portable_hash_sql(f"substr(norm_text, i, {shingle})")
+    return f"""
+    WITH sds_base AS (
+      SELECT doc_id, norm_text, length(norm_text) AS doc_len
+      FROM ({records_rel})
+    ),
+    sds_fps AS (
+      SELECT doc_id, i AS pos, {h} AS fp
+      FROM sds_base,
+           unnest(range(1, greatest(doc_len - {shingle - 1}, 0) + 1)) AS t(i)
+      WHERE ({h}) % {mod} = 0
+    ),
+    sds_dup AS (
+      SELECT fp, min(doc_id) AS keeper
+      FROM sds_fps GROUP BY fp
+      HAVING count(DISTINCT doc_id) >= {min_docs}
+    ),
+    sds_iv AS (
+      SELECT f.doc_id, f.pos AS s, f.pos + {shingle - 1} AS e
+      FROM sds_fps f JOIN sds_dup d USING (fp)
+      WHERE f.doc_id <> d.keeper
+      UNION ALL
+      SELECT doc_id, doc_len + 1, doc_len + 1 FROM sds_base
+    ),
+    sds_iv2 AS (
+      SELECT doc_id, s,
+             coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
+      FROM sds_iv
+    ),
+    sds_seg AS (
+      SELECT i.doc_id,
+             CASE WHEN i.s > i.prev_e THEN 1 ELSE 0 END AS island,
+             i.prev_e + 1 AS g,
+             substr(b.norm_text, i.prev_e + 1, greatest(i.s - i.prev_e - 1, 0)) AS seg
+      FROM sds_iv2 i JOIN sds_base b USING (doc_id)
+    ),
+    sds_agg AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY g) AS clean_text,
+             CAST(sum(island) - 1 AS BIGINT) AS n_spans
+      FROM sds_seg GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text, a.n_spans,
+           CAST(b.doc_len - length(coalesce(a.clean_text, '')) AS BIGINT)
+             AS n_removed
+    FROM sds_agg a JOIN sds_base b USING (doc_id)
     """
 
 

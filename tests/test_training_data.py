@@ -355,6 +355,83 @@ def test_duplicated_spans_finds_shared_region(spark):
     assert {r["doc_id"] for r in owners} == {0, 1}
 
 
+def _python_strip_spans(norm_texts: dict[int, str], shingle: int = 8):
+    """Independent reference for strip_dup_spans at mod=1: set-of-grams
+    per doc, dup grams = in >=2 docs, keeper = min doc, excise merged
+    [i, i+shingle-1] spans from non-keepers."""
+    grams: dict[int, dict[str, list[int]]] = {}
+    for d, t in norm_texts.items():
+        g: dict[str, list[int]] = {}
+        for i in range(len(t) - shingle + 1):
+            g.setdefault(t[i : i + shingle], []).append(i)
+        grams[d] = g
+    owners: dict[str, set[int]] = {}
+    for d, g in grams.items():
+        for s in g:
+            owners.setdefault(s, set()).add(d)
+    out = {}
+    for d, t in norm_texts.items():
+        cuts = []
+        for s, poss in grams[d].items():
+            if len(owners[s]) >= 2 and min(owners[s]) != d:
+                cuts.extend((p, p + shingle - 1) for p in poss)
+        cuts.sort()
+        merged: list[list[int]] = []
+        for a, b in cuts:
+            if merged and a <= merged[-1][1] + 0:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        keep, prev = [], 0
+        for a, b in merged:
+            keep.append(t[prev:a])
+            prev = b + 1
+        keep.append(t[prev:])
+        out[d] = ("".join(keep), len(merged))
+    return out
+
+
+def test_strip_dup_spans_matches_python_reference(spark):
+    shared = "identical boilerplate license header text appears here"
+    rows = [
+        (0, shared + " tail zero"),
+        (1, shared + " different continuation"),
+        (2, "entirely unrelated content with no overlap at all whatsoever"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("source", F.lit("s")).withColumn("lang", F.lit("en"))
+    recs = D.doc_records(docs)
+    norm = {r["doc_id"]: r["norm_text"] for r in recs.collect()}
+    expect = _python_strip_spans(norm)
+    got = {r["doc_id"]: r for r in D.strip_dup_spans(recs, mod=1).collect()}
+    assert set(got) == set(norm)
+    for d in norm:
+        assert got[d]["clean_text"] == expect[d][0], d
+        assert got[d]["n_spans"] == expect[d][1], d
+        assert got[d]["n_removed"] == len(norm[d]) - len(expect[d][0]), d
+    # the keeper (min doc_id) keeps its copy; the non-keeper lost the
+    # shared region; the disjoint and empty docs flow through unchanged
+    assert got[0]["clean_text"] == norm[0] and got[0]["n_spans"] == 0
+    assert got[1]["n_removed"] > 40
+    assert got[2]["clean_text"] == norm[2] and got[3]["clean_text"] == ""
+
+
+def test_strip_dup_spans_sampled_mode_invariants(doc_recs):
+    # default mod samples spans; invariants must hold regardless: the
+    # group keeper is untouched, counts reconcile with text lengths
+    norm = {r["doc_id"]: r["norm_text"] for r in doc_recs.collect()}
+    out = {r["doc_id"]: r for r in D.strip_dup_spans(doc_recs).collect()}
+    assert set(out) == set(norm)
+    for d, r in out.items():
+        assert r["n_removed"] == len(norm[d]) - len(r["clean_text"])
+        assert (r["n_spans"] == 0) == (r["n_removed"] == 0)
+    # docs 0/1 are exact duplicates: 0 is keeper (unchanged), any span
+    # sampled in their shared text is excised from 1
+    assert out[0]["clean_text"] == norm[0]
+
+
 def test_dedup_clusters_keeper_and_droplist(doc_recs):
     # docs 0/1 exact dups, 2 near-dup of 0 → transitive group {0,1,2},
     # keeper 0; docs 3/4/5 singletons keeping themselves
