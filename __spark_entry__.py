@@ -34,6 +34,7 @@ from entity_linking_spark.operators import dedup as D
 from entity_linking_spark.operators import dictionary as DICT
 from entity_linking_spark.operators import bpe as BPE
 from entity_linking_spark.operators import dsir as DSIR
+from entity_linking_spark.operators import qualclf as QC
 from entity_linking_spark.operators import embedcluster as EC
 from entity_linking_spark.operators import evaluation as EVAL
 from entity_linking_spark.operators import events as EV
@@ -643,6 +644,29 @@ def _dsir_model(spark, sf_dir):
             _docs(spark, sf_dir), F.col("lang") == "en", hash_mode=CFG.hash_mode
         )
     return _MEMO[k]
+
+
+def _qc_model(spark, sf_dir):
+    """Memoized trained quality-classifier weights (257 ints) — the
+    8-step full-batch GD runs once per session; scoring reuses it."""
+    k = (spark.sparkContext.applicationId, sf_dir, CFG.hash_mode, "qc_model")
+    if k not in _MEMO:
+        _MEMO[k] = QC.train_quality_classifier(
+            _docs(spark, sf_dir), F.col("lang") == "en", hash_mode=CFG.hash_mode
+        )
+    return _MEMO[k]
+
+
+def q_docs_quality_clf(spark, sf_dir):
+    """fastText/CCNet-style TRAINED quality classifier: hashed-feature
+    logistic model fitted by bit-reproducible integer full-batch GD
+    (driver-held weights, one corpus scan + one <=B+1-row shuffle per
+    step); scoring is a zero-join, zero-shuffle literal-array scan."""
+    return QC.quality_clf_scores(
+        _docs(spark, sf_dir),
+        model=_qc_model(spark, sf_dir),
+        hash_mode=CFG.hash_mode,
+    )
 
 
 def q_docs_dsir_score(spark, sf_dir):
@@ -1431,10 +1455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "docs_dsir_score": q_docs_dsir_score,
+        "docs_quality_clf": q_docs_quality_clf,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_redact_pii": q_docs_redact_pii,
         "bpe_token_counts": q_bpe_token_counts,
-        "hll_distinct_docs": q_hll_distinct_docs,
         "docs_curated": q_docs_curated,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
@@ -1475,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "docs_split": q_docs_split,
         "docs_pack_stats": q_docs_pack_stats,
+        "hll_distinct_docs": q_hll_distinct_docs,
         "hll_distinct_total": q_hll_distinct_total,
         "events_user_topk": q_events_user_topk,
         "pair_tfidf_cosine": q_pair_tfidf_cosine,
@@ -1915,6 +1940,7 @@ def _training_data_oracles() -> dict[str, str]:
         "embedding_kmeans": EC.kmeans_stats_sql(_EMB_REL),
         "semdedup": EC.semdedup_sql(_EMB_REL),
         "docs_dsir_score": DSIR.dsir_scores_sql(_DOCS_REL),
+        "docs_quality_clf": QC.quality_clf_scores_sql(_DOCS_REL),
         "docs_dsir_sample": DSIR.dsir_resample_sql(_DOCS_REL),
         "term_df": f"{with_recs} {TFI.term_df_sql(recs)}",
         "token_tfidf": f"{with_recs} {TFI.token_tfidf_sql(recs)}",

@@ -1,0 +1,276 @@
+"""Trained quality classifier — fastText/CCNet-style hashed linear model.
+
+The curation stacks behind large pretraining corpora (CCNet, GPT-3,
+Llama) filter documents with a TRAINED classifier separating a trusted
+reference corpus from the raw crawl — a discriminative complement to
+DSIR's generative importance ratios (`operators/dsir.py`). This module
+trains that classifier inside the engine: logistic-style regression over
+hashed unigram+bigram features (the fastText trick, Joulin et al. 2017;
+the document representation is the MEAN of its feature weights, so the
+margin scale is length-invariant; the bias is one sentinel feature every
+document fires once, which keeps every weight's gradient on the same
+scale), full-batch gradient descent with the weight vector held on the
+driver — the same driver-held-model topology as the k-means centroids
+(`operators/embedcluster.py`) and the DSIR log-ratio array.
+
+100 TB shape — per training step the corpus crosses ONE exchange:
+
+  * margin pass: each document's margin Σ w[b] is an Arrow-batched
+    numpy fancy-index kernel (`_margin_udf`) with the weights captured
+    in the closure — zero joins, and ~2000× cheaper per document than a
+    Spark HOF fold whose lambda is interpreted per element (the jaro.py
+    lesson applied at design time).
+  * gradient pass: the SAME scan explodes (bucket, per-doc error
+    quantum) pairs; a groupBy(bucket) with map-side partial aggregation
+    reduces every partition to <= B+1 rows before the only shuffle; B+1
+    rows reach the driver. No row ever carries more than two ints.
+  * final scoring: a pure zero-join, zero-shuffle scan (Arrow margin
+    kernel + correctly-rounded expressions), same shape as
+    `dsir_scores`.
+
+Bit-reproducible training: weights and gradients are exact int64
+micro-units, so aggregation order never matters. The float window per
+document is the link function — deliberately the SOFTSIGN sigmoid
+p = 0.5 + 0.5·z/(1+|z|) instead of 1/(1+exp(-z)), because it is built
+from IEEE correctly-rounded primitives only (abs, +, *, /), which
+Spark's JVM and DuckDB evaluate bit-identically; `exp` carries no such
+guarantee. Each document's error is floor-quantized to an integer
+micro-unit gradient quantum BEFORE summation (the dsir.py quantization
+argument), and the weight update is exact integer floor division, so
+the whole T-step trajectory is replayed bit-for-bit by the DuckDB twin.
+
+On linearly separable classes the trained model is exact (planted-vocab
+test: accuracy 1.0 after the default 8 steps); on this sandbox's
+synthetic documents table the en-vs-rest signal is deliberately weak
+(all languages draw one shared vocabulary), so the gated query's value
+there is the bit-exact replay plus directional separation — the margin
+ORDER is the product, as with DSIR scores.
+
+Reference analog: none (the reference predates learned data curation);
+the closest precedent is the keyphraseness prior as a corpus-derived
+score (`knowledgebase/KeyphrasenessIndexBuilder.java`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dsir import bucket_col, bucket_sql, features_col, features_sql
+
+QC_BUCKETS = 256
+QC_SEED = 131
+QC_STEPS = 8
+# learning rate 512 as an exact rational so the update stays pure
+# integer; large because dz/dw of the mean representation is ~1/(1e6·nf)
+QC_LR_NUM, QC_LR_DEN = 512, 1
+
+
+def _buckets_col(text: Column, n_buckets: int, seed: int, hash_mode: str) -> Column:
+    """array<int> of hashed feature buckets (unigrams + bigrams) plus one
+    trailing bias bucket (index n_buckets) every document fires once —
+    so the array is never empty and bias shares the feature code path."""
+    return F.concat(
+        F.transform(
+            features_col(text),
+            lambda t: bucket_col(t, n_buckets, seed, hash_mode).cast("int"),
+        ),
+        F.array(F.lit(n_buckets).cast("int")),
+    )
+
+
+def _buckets_sql(expr: str, n_buckets: int, seed: int) -> str:
+    b = bucket_sql("t", n_buckets, seed)
+    return (
+        f"list_concat(list_transform({features_sql(expr)}, "
+        f"t -> CAST({b} AS INT)), [CAST({n_buckets} AS INT)])"
+    )
+
+
+def _margin_udf(weights: list[int]):
+    """Vectorized Arrow margin kernel: Σ w[b] over a doc's bucket array
+    by numpy fancy-indexing — exact int64, ~1µs/doc. A Spark HOF fold
+    (aggregate + element_at) computes the same sum but its lambda is
+    interpreted per ELEMENT (~20µs each; see the array-literal note in
+    dsir.py), which at 10^2 features/doc is ~2000× slower per document —
+    this is the jaro.py precedent: Arrow-batched numpy for the per-token
+    hot loop, never per-row Python. Integer sums are order-exact, so
+    oracle parity is untouched."""
+    import numpy as np
+
+    w_np = np.asarray(weights, dtype=np.int64)
+
+    def _m(bs):
+        return bs.map(lambda a: int(w_np[np.asarray(a, dtype=np.int64)].sum()))
+
+    return F.pandas_udf(_m, "long")
+
+
+def _z_p_cols(m: Column) -> tuple[Column, Column, Column]:
+    """(nf, z, p) from the bucket array `_bs` (nf >= 1 by construction)
+    and its margin `m`: z = mean weight over the doc's buckets
+    (micro→unit), p = softsign sigmoid. Every float op is IEEE
+    correctly-rounded on exact integer inputs < 2^53, hence identical
+    across engines."""
+    nf = F.size("_bs")
+    z = m / (F.lit(1_000_000.0) * nf)
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return nf, z, p
+
+
+def train_quality_classifier(
+    documents: DataFrame,
+    target_pred: Column | None = None,
+    n_steps: int = QC_STEPS,
+    n_buckets: int = QC_BUCKETS,
+    seed: int = QC_SEED,
+    hash_mode: str = "portable",
+) -> list[int]:
+    """Full-batch GD; returns n_buckets+1 integer micro-unit weights
+    (last = bias). One corpus scan + one <=B+1-row shuffle per step.
+    The per-document gradient quantum e = floor(1e6·(p−y)/nf) rides on
+    every bucket occurrence, so Σ over a doc's rows = (p−y)·x_b/nf —
+    the mean-representation gradient, exactly quantized."""
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    base = documents.select(
+        _buckets_col(F.col("text"), n_buckets, seed, hash_mode).alias("_bs"),
+        target_pred.cast("long").alias("_y"),
+    )
+    # materialize the feature table once: every step's gradient job scans
+    # (bucket array, label) rows instead of re-running normalize +
+    # tokenize + hash T times — the standard persist-features choice for
+    # iterative training (recompute-per-step is the alternative when the
+    # feature table is too big to keep; swap localCheckpoint for a
+    # persisted table write at that scale)
+    base = base.localCheckpoint()
+    n_docs = base.count()
+    den = n_docs * QC_LR_DEN
+    w = [0] * (n_buckets + 1)
+    for _ in range(n_steps):
+        nf, _z, p = _z_p_cols(F.col("_m"))
+        e = F.floor((p - F.col("_y")) * F.lit(1_000_000.0) / nf).cast("long")
+        grad_rows = (
+            base.withColumn("_m", _margin_udf(w)(F.col("_bs")))
+            .select(F.explode("_bs").alias("b"), e.alias("e"))
+            .groupBy("b")
+            .agg(F.sum("e").alias("g"))
+            .collect()
+        )
+        grads = {int(r["b"]): int(r["g"]) for r in grad_rows}
+        # exact integer floor division (python // is floor) — mirrored in
+        # SQL by subtracting the positive mod first
+        w = [
+            w[b] - (grads.get(b, 0) * QC_LR_NUM) // den
+            for b in range(n_buckets + 1)
+        ]
+    return w
+
+
+def quality_clf_scores(
+    documents: DataFrame,
+    target_pred: Column | None = None,
+    model: list[int] | None = None,
+    n_steps: int = QC_STEPS,
+    n_buckets: int = QC_BUCKETS,
+    seed: int = QC_SEED,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(doc_id, lang, score_micro, pred): floor(1e6·z) under the trained
+    weights; pred = z > 0. Scoring is one zero-join, zero-shuffle scan —
+    the trained model rides as a literal array."""
+    if model is None:
+        model = train_quality_classifier(
+            documents, target_pred, n_steps, n_buckets, seed, hash_mode
+        )
+    _nf, z, _p = _z_p_cols(F.col("_m"))
+    return documents.select(
+        "doc_id",
+        "lang",
+        _buckets_col(F.col("text"), n_buckets, seed, hash_mode).alias("_bs"),
+    ).withColumn("_m", _margin_udf(model)(F.col("_bs"))).select(
+        "doc_id",
+        "lang",
+        F.floor(z * F.lit(1_000_000.0)).cast("long").alias("score_micro"),
+        (z > 0).cast("long").alias("pred"),
+    )
+
+
+def quality_clf_scores_sql(
+    documents_rel: str = "documents",
+    target_where: str = "lang = 'en'",
+    n_steps: int = QC_STEPS,
+    n_buckets: int = QC_BUCKETS,
+    seed: int = QC_SEED,
+) -> str:
+    """DuckDB twin: replays the full training trajectory as unrolled
+    per-step CTEs (the embedcluster/loopy_bp unrolling pattern) with the
+    identical integer arithmetic, then scores."""
+    bs = _buckets_sql("text", n_buckets, seed)
+    lrn, lrd = QC_LR_NUM, QC_LR_DEN
+    z_of = "(m / (1000000.0 * nf))"
+    p_of = f"(0.5 + 0.5 * {z_of} / (1.0 + abs({z_of})))"
+    ctes = [
+        f"""qc_docs AS MATERIALIZED (
+      SELECT doc_id, lang, {bs} AS bs,
+             CAST({target_where} AS BIGINT) AS y
+      FROM ({documents_rel})
+    )""",
+        """qc_expl AS MATERIALIZED (
+      SELECT doc_id, CAST(t.b AS BIGINT) AS b
+      FROM qc_docs, unnest(qc_docs.bs) AS t(b)
+    )""",
+        f"""qc_den AS (SELECT count(*) * {lrd} AS den FROM qc_docs)""",
+        f"""qc_w0 AS (SELECT CAST(unnest(range({n_buckets + 1})) AS BIGINT) AS b,
+                      CAST(0 AS BIGINT) AS w)""",
+    ]
+    for s in range(n_steps):
+        ctes.append(
+            f"""qc_m{s} AS (
+      SELECT d.doc_id, any_value(d.y) AS y, any_value(len(d.bs)) AS nf,
+             sum(w.w) AS m
+      FROM qc_docs d
+      JOIN qc_expl e USING (doc_id)
+      JOIN qc_w{s} w ON e.b = w.b
+      GROUP BY d.doc_id
+    )"""
+        )
+        ctes.append(
+            f"""qc_e{s} AS (
+      SELECT doc_id,
+             CAST(floor(({p_of} - y) * 1000000.0 / nf) AS BIGINT) AS e
+      FROM qc_m{s}
+    )"""
+        )
+        ctes.append(
+            f"""qc_g{s} AS (
+      SELECT e.b, sum(x.e) AS g
+      FROM qc_expl e JOIN qc_e{s} x USING (doc_id)
+      GROUP BY e.b
+    )"""
+        )
+        ctes.append(
+            f"""qc_w{s + 1} AS (
+      SELECT w.b,
+             w.w - (coalesce(g.g, 0) * {lrn}
+                    - ((((coalesce(g.g, 0) * {lrn}) % d.den) + d.den) % d.den)
+                   ) // d.den AS w
+      FROM qc_w{s} w LEFT JOIN qc_g{s} g USING (b) CROSS JOIN qc_den d
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain},
+    qc_final AS (
+      SELECT d.doc_id, any_value(d.lang) AS lang,
+             any_value(len(d.bs)) AS nf, sum(w.w) AS m
+      FROM qc_docs d
+      JOIN qc_expl e USING (doc_id)
+      JOIN qc_w{n_steps} w ON e.b = w.b
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, lang,
+           CAST(floor({z_of} * 1000000.0) AS BIGINT) AS score_micro,
+           CAST({z_of} > 0 AS BIGINT) AS pred
+    FROM qc_final
+    """
