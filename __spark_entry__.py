@@ -435,6 +435,15 @@ def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: one canonical row per resolved entity
+    (most-frequent-text rule, deterministic ties) — the MDM output stage
+    the reference's users hand-roll after clustering. Hot-cluster-proof:
+    the frequency argmax is a partial-agg'd min_by, never a per-cluster
+    window."""
+    return C.golden_records(_records(spark, sf_dir), _clusters(spark, sf_dir))
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram — the engine's A8-counter analog as a query."""
     return (
@@ -1521,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocks_first_token": q_first_token_blocks,
         "blocks_token": q_token_blocks,
         "cluster_members": q_cluster_members,
+        "golden_records": q_golden_records,
         "cluster_sizes": q_cluster_sizes,
         "term_df": q_term_df,
         "simhash_signatures": q_simhash_signatures,
@@ -1672,6 +1682,13 @@ def oracle_sql() -> dict[str, str]:
             f"   {ORACLE.clusters_oracle_sql(CFG)}"
             "  ) GROUP BY cluster_id"
             ") GROUP BY n_members"
+        ),
+        "golden_records": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+            f"clu AS ({C.clusters_sql('SELECT * FROM records', 'SELECT * FROM edges')}) "
+            "SELECT * FROM ("
+            + C.golden_records_sql("SELECT * FROM records", "SELECT * FROM clu")
+            + ")"
         ),
         # training-data pipeline family
         **_training_data_oracles(),

@@ -140,3 +140,69 @@ def clusters_sql(records_rel: str, edges_rel: str) -> str:
     SELECT r.rec_key, coalesce(reach.cluster_id, r.rec_key) AS cluster_id
     FROM ({records_rel}) r LEFT JOIN reach ON r.rec_key = reach.rec_key
     """
+
+
+def golden_records(records: DataFrame, clusters: DataFrame) -> DataFrame:
+    """(cluster_id, n_members, n_convs, total_tokens, canonical_text):
+    the GOLDEN RECORD a linkage pipeline ships — one canonical row per
+    resolved entity, built by deterministic survivorship rules: the
+    canonical text is the cluster's most frequent norm_text with ties to
+    the lexicographically smallest (the standard most-frequent-value
+    survivorship of MDM practice; the reference stops at cluster ids, so
+    this is the natural next stage its users hand-roll).
+
+    Scale shape: one rec_key equi-join + three partial-agg'd groupBys on
+    cluster_id. The frequency argmax is deliberately NOT a per-cluster
+    window: a hot cluster would put all its distinct texts in one task's
+    sort (the `cap_blocks` lesson) — instead the (cluster, text) counts
+    feed `min_by` over a composite (count-complement, text) key, which
+    partial-aggregates map-side like any min."""
+    j = records.join(clusters, "rec_key")
+    stats = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.count_distinct(F.col("conv_id")).alias("n_convs"),
+        F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
+    )
+    counts = j.groupBy("cluster_id", "norm_text").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # composite order key: larger count first, then smaller text — as ONE
+    # string so min_by/arg_min agree bit-for-bit across engines
+    key = F.concat(
+        F.lpad((F.lit(2147483647) - F.col("c")).cast("string"), 10, "0"),
+        F.lit("|"),
+        F.col("norm_text"),
+    )
+    canon = counts.groupBy("cluster_id").agg(
+        F.min_by("norm_text", key).alias("canonical_text")
+    )
+    return stats.join(canon, "cluster_id")
+
+
+def golden_records_sql(records_rel: str, clusters_rel: str) -> str:
+    return f"""
+    WITH gr_j AS (
+      SELECT c.cluster_id, r.conv_id, r.norm_text, len(r.tokens) AS nt
+      FROM ({records_rel}) r JOIN ({clusters_rel}) c USING (rec_key)
+    ),
+    gr_stats AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+             CAST(sum(nt) AS BIGINT) AS total_tokens
+      FROM gr_j GROUP BY cluster_id
+    ),
+    gr_counts AS (
+      SELECT cluster_id, norm_text, count(*) AS c
+      FROM gr_j GROUP BY cluster_id, norm_text
+    ),
+    gr_canon AS (
+      SELECT cluster_id,
+             arg_min(norm_text,
+                     lpad(CAST(2147483647 - c AS VARCHAR), 10, '0')
+                       || '|' || norm_text) AS canonical_text
+      FROM gr_counts GROUP BY cluster_id
+    )
+    SELECT s.cluster_id, s.n_members, s.n_convs, s.total_tokens,
+           g.canonical_text
+    FROM gr_stats s JOIN gr_canon g USING (cluster_id)
+    """

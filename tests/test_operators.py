@@ -88,6 +88,37 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_golden_records_survivorship(spark):
+    # cluster A: "bob" wins by frequency; cluster B: 1-1 tie between
+    # "amy" and "amy b" -> lexicographically smaller text wins;
+    # singleton C keeps its own text
+    recs = spark.createDataFrame(
+        [
+            ("r1", "c1", 1, "bob", ["bob"]),
+            ("r2", "c1", 2, "bob", ["bob"]),
+            ("r3", "c2", 1, "robert", ["robert"]),
+            ("r4", "c2", 2, "amy b", ["amy", "b"]),
+            ("r5", "c3", 1, "amy", ["amy"]),
+            ("r6", "c3", 2, "solo", ["solo"]),
+        ],
+        "rec_key string, conv_id string, turn_idx int, norm_text string,"
+        " tokens array<string>",
+    )
+    clu = spark.createDataFrame(
+        [("r1", "r1"), ("r2", "r1"), ("r3", "r1"),
+         ("r4", "r4"), ("r5", "r4"), ("r6", "r6")],
+        "rec_key string, cluster_id string",
+    )
+    out = {r["cluster_id"]: r for r in C.golden_records(recs, clu).collect()}
+    assert set(out) == {"r1", "r4", "r6"}
+    a = out["r1"]
+    assert (a["canonical_text"], a["n_members"], a["n_convs"],
+            a["total_tokens"]) == ("bob", 3, 2, 3)
+    assert out["r4"]["canonical_text"] == "amy"  # tie -> smaller text
+    assert out["r4"]["n_convs"] == 2 and out["r4"]["total_tokens"] == 3
+    assert out["r6"]["canonical_text"] == "solo" and out["r6"]["n_members"] == 1
+
+
 def test_connected_components_empty_edges(spark):
     ndf = spark.createDataFrame([("a",), ("b",)], "rec_key string")
     edf = spark.createDataFrame([], "a_key string, b_key string")
