@@ -637,9 +637,11 @@ def q_embedding_kmeans(spark, sf_dir):
 
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas 2023): cosine near-dup pairs searched only inside
-    each k-means cell; higher id of every hit marked dropped."""
-    assigned, _ = _kmeans(spark, sf_dir)
-    return EC.semdedup_drops(_emb(spark, sf_dir), assigned=assigned)
+    each k-means cell, over a BOUNDED rank window of the within-cell
+    centroid-distance order (≤ N·window pairs by plan shape); the
+    later-rank member of every hit is marked dropped."""
+    assigned, cents = _kmeans(spark, sf_dir)
+    return EC.semdedup_drops(_emb(spark, sf_dir), assigned=assigned, cents=cents)
 
 
 def _dsir_model(spark, sf_dir):
@@ -1418,46 +1420,112 @@ def q_frame_sample(spark, sf_dir):
     return MM.frame_sample(MM.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_multimodal_decode_ppm(spark, sf_dir):
+    """REAL (non-stub) decode path: synthesize valid binary-PPM images
+    deterministically from the documents table, parse them with the
+    dependency-free P6 decoder, and verify every parsed feature against
+    the relational recomputation (operators/multimodal.py)."""
+    return MM.decode_features(MM.attach_ppm(_docs(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full blocking → scoring → clustering pipeline at sf0.001."""
     return q_entity_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ranked so every operator family has a gated representative: the
-    driver's correctness gate evaluates the FIRST 50 entries in dict
-    order (r1 gated 38/38, r2 gated exactly the first 50 of 64), so the
-    top 50 are chosen to cover each family (linking chain, dictionary,
-    dedup, ANN, sketches, tf-idf, multimodal, graph walks, BP, events
-    incl. the range join, relational).
-    The tail entries are variants whose operator is already represented
-    above (e.g. cluster_members/sizes atop the gated entity_clusters,
-    simhash/embed signature stages consumed by their gated *_neardup
-    queries); ALL entries — head and tail — remain value-checked against
-    their DuckDB oracles at sf0.001 in tests/test_oracle_parity.py."""
+    """ROTATED gate window (round 4, VERDICT r3 item 4): the driver's
+    correctness gate evaluates the FIRST 50 entries in dict order. The
+    head keeps the 7-stage flagship linking chain (always gated, every
+    round) and otherwise consists EXCLUSIVELY of the 43 queries that had
+    never had a driver-gate row through round 3 — so CORRECTNESS_r04 ∪
+    CORRECTNESS_r03 covers 93 distinct queries (the 14 still-ungated
+    tail entries are queued for the round-5 window). Gate-set history:
+    r1 38/38 · r2 first 50 of 64 · r3 first 50 of 106 (head as committed
+    at 631bdcb) · r4 this head. Cross-round gate comparisons must account
+    for the rotation — a query missing from one round's artifact was
+    gated in the other, not dropped. ALL entries — head and tail — are
+    additionally value-checked against their DuckDB oracles at sf0.001
+    in tests/test_oracle_parity.py every test run."""
     return {
-        # — linking chain (blocking → scoring → clustering → audits) —
+        # — the flagship 7-stage linking chain (gated every round) —
         "transcripts_derive": q_transcripts,
         "records_prepare": q_records,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_blocks": q_lsh_blocks,
+        "candidate_pairs": q_candidate_pairs,
+        "match_edges": q_match_edges,
+        "entity_clusters": q_entity_clusters,
+        # — never-gated-before window (43): text/normalize family —
+        "normalize": q_normalize,
+        "link_normalize": q_link_normalize,
+        "quality_filter": q_quality_filter,
+        "token_keyphraseness": q_token_keyphraseness,
+        "keyphrase_topk": q_keyphrase_topk,
+        "source_candidate_cut": q_source_candidate_cut,
+        "term_df": q_term_df,
+        "token_tfidf_ref": q_token_tfidf_ref,
+        "pair_tfidf_cosine": q_pair_tfidf_cosine,
+        "pair_embedding_cosine": q_pair_embedding_cosine,
+        # — blocking / dictionary variants —
+        "blocks_token": q_token_blocks,
+        "salted_blocks": q_salted_blocks,
+        "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
+        # — dedup family —
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dup_spans": q_dup_spans,
+        "docs_strip_dup_spans": q_docs_strip_dup_spans,
+        "conv_neardup": q_conv_neardup,
+        # — clustering audits / survivorship —
+        "cluster_members": q_cluster_members,
+        "cluster_sizes": q_cluster_sizes,
+        "golden_records": q_golden_records,
+        # — graph walks + BP variants —
+        "pagerank_priors": q_pagerank_priors,
+        "loopy_bp": q_loopy_bp,
+        "loopy_bp_maxent": q_loopy_bp_maxent,
+        "loopy_bp_solution": q_loopy_bp_solution,
+        # — sampling / curation variants —
+        "docs_sample": q_docs_sample,
+        "docs_split": q_docs_split,
+        "docs_stratified_cap": q_docs_stratified_cap,
+        "docs_dsir_sample": q_docs_dsir_sample,
+        "docs_domain_stats": q_docs_domain_stats,
+        "docs_pack_stats": q_docs_pack_stats,
+        # — BPE variants —
+        "bpe_merges": q_bpe_merges,
+        "bpe_doc_tokens": q_bpe_doc_tokens,
+        # — sketches —
+        "hll_distinct_docs": q_hll_distinct_docs,
+        "hll_distinct_total": q_hll_distinct_total,
+        # — ANN variants —
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        # — events —
+        "events_user_topk": q_events_user_topk,
+        "events_rollup": q_events_rollup,
+        "events_asof_orders": q_events_asof_orders,
+        # — real (non-stub) multimodal decode, new this round —
+        "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        # ——— gate cutoff ———
+        # r3-gated entries (green rows in CORRECTNESS_r03.json) now in the
+        # tail, still oracle-checked in the pytest parity suite:
         "role_filter": q_role_filter,
         "positional_index": q_positional_index,
         "record_degree": q_record_degree,
         "conversation_stats": q_conversation_stats,
         "alias_dictionary": q_alias_dictionary,
         "dict_blocks": q_dict_blocks,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_blocks": q_lsh_blocks,
-        "candidate_pairs": q_candidate_pairs,
         "pair_features": q_pair_features,
         "pair_jaro_winkler": q_pair_jaro_winkler,
         "scored_pairs_full": q_scored_pairs_full,
-        "match_edges": q_match_edges,
-        "entity_clusters": q_entity_clusters,
         "calibration_sweep": q_calibration_sweep,
         "incremental_clusters": q_incremental_clusters,
         "dictionary_coverage": q_dictionary_coverage,
         "clustering_agreement": q_clustering_agreement,
-        # — training-data pipeline family —
         "text_stats": q_text_stats,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "repetition_stats": q_repetition_stats,
@@ -1481,74 +1549,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_tfidf": q_token_tfidf,
         "milne_witten_relatedness": q_milne_witten,
         "multimodal_decode": q_multimodal_decode,
-        # — graph walks + belief propagation —
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
         "loopy_bp_full": q_loopy_bp_full,
-        # — event analytics —
         "events_sessionize": q_events_sessionize,
         "events_session_attr": q_events_session_attr,
-        # — general relational analytics (TPC-H-style join/agg breadth) —
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3,
-        # ——— gate cutoff (entries below are variants of gated operators,
-        #     still oracle-checked in the pytest parity suite) ———
-        "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
-        "docs_domain_stats": q_docs_domain_stats,
-        "docs_stratified_cap": q_docs_stratified_cap,
-        "docs_dsir_sample": q_docs_dsir_sample,
-        "bpe_merges": q_bpe_merges,
-        "bpe_doc_tokens": q_bpe_doc_tokens,
-        "docs_strip_dup_spans": q_docs_strip_dup_spans,
-        "doc_fingerprints": q_doc_fingerprints,
-        "ann_bruteforce": q_ann_bruteforce,
-        "token_keyphraseness": q_token_keyphraseness,
-        "quality_filter": q_quality_filter,
-        "docs_sample": q_docs_sample,
-        "dedup_jaccard": q_dedup_jaccard,
-        "docs_split": q_docs_split,
-        "docs_pack_stats": q_docs_pack_stats,
-        "hll_distinct_docs": q_hll_distinct_docs,
-        "hll_distinct_total": q_hll_distinct_total,
-        "events_user_topk": q_events_user_topk,
-        "pair_tfidf_cosine": q_pair_tfidf_cosine,
-        "pagerank_priors": q_pagerank_priors,
-        "loopy_bp": q_loopy_bp,
-        "pair_embedding_cosine": q_pair_embedding_cosine,
-        "events_rollup": q_events_rollup,
-        "tpch_q5_local_volume": q_tpch_q5,
-        "salted_blocks": q_salted_blocks,
-        "dedup_simhash": q_dedup_simhash,
-        "events_hopping": q_events_hopping,
-        "ann_lsh": q_ann_lsh,
-        "degenerate_conversations": q_degenerate_conversations,
-        "dup_spans": q_dup_spans,
-        "dedup_clusters": q_dedup_clusters,
-        "events_value_stats": q_events_value_stats,
-        "normalize": q_normalize,
-        "token_tfidf_ref": q_token_tfidf_ref,
+        # never gated yet — queued for the round-5 window:
         "blocks_first_token": q_first_token_blocks,
-        "blocks_token": q_token_blocks,
-        "cluster_members": q_cluster_members,
-        "golden_records": q_golden_records,
-        "cluster_sizes": q_cluster_sizes,
-        "term_df": q_term_df,
         "simhash_signatures": q_simhash_signatures,
         "embed_signatures": q_embed_signatures,
-        "keyphrase_topk": q_keyphrase_topk,
-        "source_candidate_cut": q_source_candidate_cut,
-        "link_normalize": q_link_normalize,
         "frame_sample": q_frame_sample,
-        "loopy_bp_solution": q_loopy_bp_solution,
-        "loopy_bp_maxent": q_loopy_bp_maxent,
+        "degenerate_conversations": q_degenerate_conversations,
         "events_tumbling": q_events_tumbling,
+        "events_hopping": q_events_hopping,
         "events_json_props": q_events_json_props,
+        "events_value_stats": q_events_value_stats,
+        "tpch_q5_local_volume": q_tpch_q5,
         "tpch_q14_promo": q_tpch_q14,
         "tpch_q18_large_orders": q_tpch_q18,
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q10_returned_items": q_tpch_q10,
-        "conv_neardup": q_conv_neardup,
-        "events_asof_orders": q_events_asof_orders,
     }
 
 
@@ -1973,6 +1995,7 @@ def _training_data_oracles() -> dict[str, str]:
         ),
         "pair_tfidf_cosine": pair_cos,
         "multimodal_decode": MM.decode_features_sql(_DOCS_REL),
+        "multimodal_decode_ppm": MM.decode_ppm_sql(_DOCS_REL),
         "frame_sample": MM.frame_sample_sql(_DOCS_REL),
         "link_normalize": (
             f"SELECT doc_id, {link_normalize_sql('text')} AS link_norm FROM documents"

@@ -182,13 +182,20 @@ def bpe_doc_tokens(
     lens = vocab.select(
         "word", F.size(F.split(F.trim(F.col("sym")), " ")).alias("tok_len")
     )
+    # OOV policy (matters only when callers pass a PRE-TRAINED vocab
+    # rather than learning from the same corpus): a word absent from the
+    # vocab has no learned merges, so — exactly as BPE apply-time
+    # behaves — it falls back to its base character symbolization,
+    # contributing len(chars) tokens via the LEFT join's coalesce. No
+    # word (hence no document) is ever silently dropped.
+    oov_len = F.size(F.split(F.trim(_sym0_col(F.col("word"))), " "))
     return (
         records.select("doc_id", F.explode("tokens").alias("word"))
-        .join(F.broadcast(lens), "word")
+        .join(F.broadcast(lens), "word", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
-            F.sum("tok_len").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("tok_len"), oov_len)).cast("long").alias("n_tokens"),
         )
     )
 
@@ -207,13 +214,17 @@ def _chain_sql(records_rel: str, n_merges: int) -> tuple[str, str]:
     ]
     for k in range(1, n_merges + 1):
         prev = f"bpe_v{k - 1}"
+        # AS MATERIALIZED on every per-round CTE: DuckDB otherwise
+        # re-inlines each round's CTEs into the next, growing plan cost
+        # ~10x per merge round (ADVICE r3 — measured >100s at n=6 on a
+        # 2-row table without it)
         ctes.append(
-            f"bpe_b{k} AS (SELECT pair, sum(cnt) AS freq FROM "
+            f"bpe_b{k} AS MATERIALIZED (SELECT pair, sum(cnt) AS freq FROM "
             f"(SELECT unnest({_pairs_sql('v.sym')}) AS pair, v.cnt FROM {prev} v) "
             f"GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1)"
         )
         ctes.append(
-            f"bpe_v{k} AS (SELECT word, cnt, CASE WHEN EXISTS (SELECT 1 FROM bpe_b{k}) "
+            f"bpe_v{k} AS MATERIALIZED (SELECT word, cnt, CASE WHEN EXISTS (SELECT 1 FROM bpe_b{k}) "
             f"THEN replace(sym, (SELECT ' ' || pair || ' ' FROM bpe_b{k}), "
             f"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM bpe_b{k})) "
             f"ELSE sym END AS sym FROM {prev})"
@@ -238,10 +249,11 @@ def bpe_doc_tokens_sql(records_rel: str, n_merges: int = BPE_MERGES) -> str:
     bpe_lens AS (SELECT word, len(string_split(trim(sym), ' ')) AS tok_len
                  FROM {final})
     SELECT r.doc_id, count(*) AS n_words,
-           CAST(sum(l.tok_len) AS BIGINT) AS n_tokens
+           CAST(sum(coalesce(l.tok_len,
+                len(string_split(trim({_sym0_sql('r.word')}), ' ')))) AS BIGINT) AS n_tokens
     FROM (SELECT d.doc_id, t.word
           FROM ({records_rel}) d, unnest(d.tokens) AS t(word)) r
-    JOIN bpe_lens l USING (word)
+    LEFT JOIN bpe_lens l USING (word)
     GROUP BY r.doc_id
     """
 

@@ -12,10 +12,21 @@ Two operators a training-data pipeline needs once embeddings exist:
     scan the IVF quantizer in `simsearch.ann_ivf_topk` points at).
   * ``semdedup_drops`` — SemDeDup (Abbas et al. 2023, public): cluster
     the corpus, then look for near-duplicate pairs ONLY inside each
-    cluster (cos ≥ τ) and drop the higher id of every hit. At scale k
-    grows with N so cells stay O(N/k) small and the within-cell
-    self-join never approaches all-pairs; the block cap from
-    `pairs.cap_blocks` composes on top if a cell runs hot.
+    cluster (cos ≥ τ). The within-cell comparison set is BOUNDED IN
+    CODE, not by convention: members are ranked by exact integer
+    distance to their cell's centroid (the paper's within-cluster
+    sort — near-duplicates have near-equal centroid distance, so they
+    land on adjacent ranks), and each member is compared only against
+    the `window` members ranked immediately before it. The pairs are
+    produced by an EQUI-join on (cell, rank) against each member's
+    exploded predecessor-rank window, so the enumerated pair count is
+    ≤ N·window BY PLAN SHAPE — a hot cell (boilerplate-heavy corpora
+    concentrate near-identical embeddings into a few cells) costs
+    O(cell·window), never O(cell²). Keeper rule: in every matching
+    pair the EARLIER-rank member (closest to centroid; ties → lowest
+    vec_id) is kept and the later-rank member is dropped — the
+    paper's keep-the-representative rule, deterministic because the
+    rank order is exact-integer.
 
 Exactness discipline (the driver value-hashes against DuckDB): all
 k-means arithmetic is INTEGER. Components are scaled by 1e6 and
@@ -47,6 +58,10 @@ SCALE = 1_000_000
 KM_K = 8
 KM_ITERS = 3
 SEMDEDUP_COS = 0.30
+# bounded within-cell comparison window (ranks by distance-to-centroid):
+# each member is compared against at most this many predecessors, so the
+# pair count is ≤ N·window regardless of how hot any one cell runs
+SEMDEDUP_WINDOW = 32
 
 
 # ---------------------------------------------------------------------------
@@ -164,57 +179,131 @@ def kmeans_stats(
 # ---------------------------------------------------------------------------
 
 
+def min_dist_expr(cents: dict[int, list[int]]) -> Column:
+    """Exact integer squared distance from `x` to its ASSIGNED (= argmin)
+    centroid: the min over the same literal-centroid distance expressions
+    `assign_expr` ranks — zero joins, pure scan."""
+    return F.array_min(
+        F.array(*[_dist_to(F.col("x"), cents[cell]) for cell in sorted(cents)])
+    )
+
+
+def _ranked_members(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    cents: dict[int, list[int]],
+    dim: int,
+) -> DataFrame:
+    """(vec_id, cell, rnk, emb, nrm): members ranked 1..|cell| within
+    their cell by (distance-to-centroid ASC, vec_id ASC) — the SemDeDup
+    within-cluster sort. The distance is an exact int64, so the order is
+    deterministic and engine-independent. One shuffle (the per-cell
+    window sort); cell sort size is O(cell), never O(cell²)."""
+    from pyspark.sql import Window
+
+    dist = assigned.select("vec_id", "cell", min_dist_expr(cents).alias("d"))
+    w = Window.partitionBy("cell").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .join(
+            embeddings.select(
+                "vec_id",
+                F.col("embedding").alias("emb"),
+                norm_col(F.col("embedding"), dim).alias("nrm"),
+            ),
+            "vec_id",
+        )
+        .select("vec_id", "cell", "rnk", "emb", "nrm")
+    )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    dim: int = DIM,
+    window: int = SEMDEDUP_WINDOW,
+    assigned: DataFrame | None = None,
+    cents: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """(cell, a_id, b_id, cos): the BOUNDED comparison set — member at
+    rank r is paired with ranks max(1, r−window)..r−1 of the same cell,
+    via explode(predecessor ranks) + equi-join on (cell, rank). The
+    enumerated pair count is Σ min(rnk−1, window) ≤ N·window by plan
+    construction: no quadratic blow-up is reachable, however hot a cell
+    runs (pinned by tests/test_embedcluster.py's planted-hot-cell
+    bound)."""
+    if assigned is None or cents is None:
+        assigned, cents = kmeans_fit(embeddings, k=k, iters=iters, dim=dim)
+    ranked = _ranked_members(embeddings, assigned, cents, dim)
+    a = ranked.select(
+        "cell",
+        F.col("rnk").alias("a_rnk"),
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = ranked.select(
+        "cell",
+        F.col("rnk").alias("b_rnk"),
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    ).withColumn(
+        "a_rnk",
+        # explode drops the null for rank-1 members (no predecessors);
+        # greatest() floors the window at rank 1
+        F.explode(
+            F.when(
+                F.col("b_rnk") > 1,
+                F.sequence(
+                    F.greatest(F.col("b_rnk") - window, F.lit(1)),
+                    F.col("b_rnk") - 1,
+                ),
+            )
+        ),
+    )
+    cos = F.round(
+        dot_col(F.col("a_emb"), F.col("b_emb"), dim) / (F.col("a_nrm") * F.col("b_nrm")),
+        6,
+    )
+    return a.join(b, ["cell", "a_rnk"]).select(
+        "cell", "a_id", "b_id", cos.alias("cos")
+    )
+
+
 def semdedup_drops(
     embeddings: DataFrame,
     k: int = KM_K,
     iters: int = KM_ITERS,
     tau: float = SEMDEDUP_COS,
     dim: int = DIM,
+    window: int = SEMDEDUP_WINDOW,
     assigned: DataFrame | None = None,
+    cents: dict[int, list[int]] | None = None,
 ) -> DataFrame:
-    """(vec_id, cell, is_dup): is_dup=1 iff some LOWER-id member of the
-    same k-means cell has cosine ≥ τ with this vector (the kept
-    representative is always the lowest id of a near-dup group — the
-    dedup family's standard deterministic keeper rule). The self-join is
-    cell-local: at scale k ∝ N keeps cells O(N/k) so this never becomes
-    all-pairs; a hot cell composes with `pairs.cap_blocks`."""
-    if assigned is None:
-        assigned, _ = kmeans_fit(embeddings, k=k, iters=iters, dim=dim)
-    members = assigned.select("vec_id", "cell").join(
-        embeddings.select(
-            "vec_id",
-            F.col("embedding").alias("emb"),
-            norm_col(F.col("embedding"), dim).alias("nrm"),
-        ),
-        "vec_id",
-    )
-    a = members.select(
-        F.col("cell"),
-        F.col("vec_id").alias("a_id"),
-        F.col("emb").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = members.select(
-        F.col("cell"),
-        F.col("vec_id").alias("b_id"),
-        F.col("emb").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cos = F.round(
-        dot_col(F.col("a_emb"), F.col("b_emb"), dim) / (F.col("a_nrm") * F.col("b_nrm")),
-        6,
-    )
+    """(vec_id, cell, is_dup): is_dup=1 iff some member of the same
+    k-means cell ranked within the preceding `window` positions of the
+    within-cell centroid-distance order has cosine ≥ τ with this vector.
+    The kept representative of every matching pair is the EARLIER-rank
+    member (closest to centroid, ties → lowest vec_id) — SemDeDup's
+    keep-the-representative rule. The comparison set is bounded in code
+    (≤ N·window pairs, see `semdedup_pairs`), so a hot cell costs
+    O(cell·window), never O(cell²)."""
+    if assigned is None or cents is None:
+        assigned, cents = kmeans_fit(embeddings, k=k, iters=iters, dim=dim)
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("cell", "a_id", "b_id", cos.alias("cos"))
+        semdedup_pairs(
+            embeddings, k=k, iters=iters, dim=dim, window=window,
+            assigned=assigned, cents=cents,
+        )
         .filter(F.col("cos") >= tau)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
     return (
-        members.select("vec_id", "cell")
+        assigned.select("vec_id", "cell")
         .join(dropped, "vec_id", "left")
         .select(
             "vec_id", "cell", F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup")
@@ -298,24 +387,38 @@ def semdedup_sql(
     iters: int = KM_ITERS,
     tau: float = SEMDEDUP_COS,
     dim: int = DIM,
+    window: int = SEMDEDUP_WINDOW,
 ) -> str:
-    chain, a_rel, _ = kmeans_chain_sql(embeddings_rel, k, iters, dim)
+    """Twin of the bounded-window `semdedup_drops`: identical integer
+    centroid-distance ranking (ties → vec_id) and the same
+    rank-difference-≤-window comparison set; the relational form states
+    the window as `y.rnk − x.rnk BETWEEN 1 AND window` (the oracle runs
+    at test scale, so the join-then-filter plan is fine here — the Spark
+    side is the bounded explode+equi-join)."""
+    chain, a_rel, c_rel = kmeans_chain_sql(embeddings_rel, k, iters, dim)
     return f"""
     WITH {chain},
-    sd_members AS (
-      SELECT a.vec_id, a.cell, e.embedding AS emb,
+    sd_ranked AS MATERIALIZED (
+      SELECT a.vec_id, a.cell,
+             row_number() OVER (
+               PARTITION BY a.cell
+               ORDER BY {_dist_sql('a', 'c', dim)} ASC, a.vec_id ASC
+             ) AS rnk,
+             e.embedding AS emb,
              {norm_sql('e.embedding', dim)} AS nrm
-      FROM {a_rel} a JOIN ({embeddings_rel}) e USING (vec_id)
+      FROM {a_rel} a
+      JOIN {c_rel} c USING (cell)
+      JOIN ({embeddings_rel}) e USING (vec_id)
     ),
     sd_dropped AS (
       SELECT DISTINCT b_id AS vec_id FROM (
         SELECT y.vec_id AS b_id,
                round({dot_sql('x.emb', 'y.emb', dim)} / (x.nrm * y.nrm), 6) AS cos
-        FROM sd_members x JOIN sd_members y
-          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        FROM sd_ranked x JOIN sd_ranked y
+          ON x.cell = y.cell AND y.rnk - x.rnk BETWEEN 1 AND {window}
       ) WHERE cos >= {tau!r}
     )
     SELECT m.vec_id, m.cell,
            CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
-    FROM sd_members m LEFT JOIN sd_dropped d ON m.vec_id = d.vec_id
+    FROM sd_ranked m LEFT JOIN sd_dropped d ON m.vec_id = d.vec_id
     """

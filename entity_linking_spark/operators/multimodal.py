@@ -60,13 +60,78 @@ def attach_binary(documents: DataFrame) -> DataFrame:
     )
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free binary-PPM (P6) parse: header `P6 <w> <h> <maxval>`
+    + raw RGB samples. Strict subset (no `#` comments); raises ValueError
+    on malformed headers or truncated pixel data, which routes the record
+    to the deterministic fallback."""
+    import re
+
+    m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a binary PPM header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not (0 < w and 0 < h and 0 < maxval < 65536):
+        raise ValueError("invalid PPM dimensions")
+    need = w * h * 3 * (2 if maxval > 255 else 1)
+    start = m.end()
+    if len(payload) - start < need:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, payload[start : start + need]
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free uncompressed-BMP parse (BITMAPINFO/V4/V5 headers,
+    24/32 bpp, BI_RGB): returns (width, |height|, raw pixel-array bytes
+    incl. row padding). Validation is strict — a payload that merely
+    starts with `BM` but carries an inconsistent header raises and falls
+    back to the deterministic fake path."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib = struct.unpack_from("<I", payload, 14)[0]
+    if dib not in (40, 108, 124):
+        raise ValueError("unsupported DIB header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    rowsize = ((bpp * w + 31) // 32) * 4
+    need = rowsize * abs(h)
+    if data_offset < 14 + dib or len(payload) < data_offset + need:
+        raise ValueError("truncated BMP pixel data")
+    return w, abs(h), payload[data_offset : data_offset + need]
+
+
 def _decode_real(payload: bytes, modality: str) -> dict:
-    """The real decoder slot. Requires PIL/librosa/pyav — not present in
-    this environment."""
-    raise NotImplementedError(
-        "media decoding libraries are not available in this environment; "
-        "the pipeline uses the deterministic fake decode instead"
-    )
+    """REAL decode for the two formats parseable without external
+    libraries: binary PPM (P6) and uncompressed BMP — pure-Python header
+    + pixel-array parses (VERDICT r3 item 6, retiring the stub). Other
+    containers (JPEG/PNG/WAV/MP4) still need PIL/librosa/pyav, which
+    this sandbox lacks — extend here when they exist. Feature contract
+    matches the fake path: checksum = portable 31-bit hash of the pixel
+    bytes' hex, so the DuckDB oracle recomputes it relationally for
+    deterministic payloads (`attach_ppm`)."""
+    if payload[:2] == b"P6":
+        w, h, pixels = _parse_ppm(payload)
+    elif payload[:2] == b"BM":
+        w, h, pixels = _parse_bmp(payload)
+    else:
+        raise NotImplementedError(
+            "only PPM/BMP decode without media libraries; other formats "
+            "use the deterministic fake decode"
+        )
+    h60 = int(hashlib.md5(pixels.hex().encode()).hexdigest()[:15], 16)
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "checksum": h60 % MERSENNE_P,
+    }
 
 
 def _decode_fake(doc_id: int, payload: bytes, modality: str) -> dict:
@@ -85,36 +150,27 @@ def _decode_fake(doc_id: int, payload: bytes, modality: str) -> dict:
     }
 
 
-def _probe_real_decoder() -> bool:
-    """Check once (per worker import) whether the real decoder is usable,
-    so the per-record loop branches on a flag instead of raising/catching
-    NotImplementedError inside the Arrow hot path."""
-    try:
-        _decode_real(b"", "image")
-        return True
-    except NotImplementedError:
-        return False
-    except Exception:
-        return True  # decoder present but unhappy with the empty probe
-
-
-_HAVE_REAL_DECODER = _probe_real_decoder()
-
-
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batches in, feature batches out. The real
-    decoder is probed once at import; the deterministic fake is the
-    fallback path."""
-    decode = _decode_real if _HAVE_REAL_DECODER else None
+    """mapInPandas worker: Arrow batches in, feature batches out. Routing
+    is by magic bytes — a cheap slice compare, so the non-media fast path
+    never enters try/except: recognized containers (PPM `P6`, BMP `BM`)
+    take the REAL parse, anything else (or a corrupt header — e.g. a
+    synthetic payload that collides with a magic by chance) falls back to
+    the deterministic fake decode."""
     for pdf in batches:
         rows = []
         for doc_id, modality, payload in zip(
             pdf["doc_id"], pdf["modality"], pdf["payload"]
         ):
-            if decode is not None:
-                feats = decode(bytes(payload), modality)
-            else:
-                feats = _decode_fake(int(doc_id), bytes(payload), modality)
+            p = bytes(payload)
+            feats = None
+            if p[:2] in (b"P6", b"BM"):
+                try:
+                    feats = _decode_real(p, modality)
+                except Exception:
+                    feats = None
+            if feats is None:
+                feats = _decode_fake(int(doc_id), p, modality)
             rows.append({"doc_id": int(doc_id), "modality": modality, **feats})
         yield pd.DataFrame(
             rows,
@@ -149,6 +205,50 @@ def decode_features_sql(documents_rel: str = "documents") -> str:
            CAST(16 + (doc_id % 8) * 4 AS BIGINT) AS height,
            CAST(CASE WHEN {modality} = 'video' THEN 1 + doc_id % 16 ELSE 1 END AS BIGINT) AS n_frames,
            CAST({portable_hash_sql(tiled_hex)} AS BIGINT) AS checksum
+    FROM ({documents_rel})
+    """
+
+
+PPM_TILE = 16  # md5 hex repeated: 512 hex chars = 256 raw bytes ≥ max 3·w·h
+
+
+def attach_ppm(documents: DataFrame) -> DataFrame:
+    """(doc_id, modality, payload): REAL, valid binary-PPM (P6) images
+    synthesized deterministically from the document text — header
+    `P6\\n{w} {h}\\n255\\n` + 3·w·h RGB bytes from md5(text) tiled and
+    truncated. w = 4 + doc_id%4, h = 2 + doc_id%3 (single-digit, so the
+    header is 11 bytes). Because the payload is a pure expression of
+    (doc_id, text), the REAL decoder's every output is recomputable
+    relationally — `decode_ppm_sql` is the oracle, making the non-stub
+    decode path value-hash-verified end to end."""
+    w = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(4))).cast("int")
+    h = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(3))).cast("int")
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    pixels_hex = F.repeat(F.md5(F.col("text")), PPM_TILE).substr(
+        F.lit(1), (w * h * F.lit(6)).cast("int")
+    )
+    return documents.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.concat(F.encode(header, "UTF-8"), F.unhex(pixels_hex)).alias("payload"),
+    )
+
+
+def decode_ppm_sql(documents_rel: str = "documents") -> str:
+    """Oracle for decode_features(attach_ppm(...)): every feature of the
+    REAL PPM parse, recomputed relationally from (doc_id, text)."""
+    w = "(4 + doc_id % 4)"
+    h = "(2 + doc_id % 3)"
+    pixels_hex = f"substr(repeat(md5(text), {PPM_TILE}), 1, CAST({w} * {h} * 6 AS INT))"
+    header_len = f"(9 + length(CAST({w} AS VARCHAR)) + length(CAST({h} AS VARCHAR)))"
+    return f"""
+    SELECT doc_id,
+           'image' AS modality,
+           CAST({header_len} + {w} * {h} * 3 AS BIGINT) AS n_bytes,
+           CAST({w} AS BIGINT) AS width,
+           CAST({h} AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_frames,
+           CAST({portable_hash_sql(pixels_hex)} AS BIGINT) AS checksum
     FROM ({documents_rel})
     """
 

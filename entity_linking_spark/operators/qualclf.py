@@ -16,10 +16,14 @@ driver — the same driver-held-model topology as the k-means centroids
 100 TB shape — per training step the corpus crosses ONE exchange:
 
   * margin pass: each document's margin Σ w[b] is an Arrow-batched
-    numpy fancy-index kernel (`_margin_udf`) with the weights captured
-    in the closure — zero joins, and ~2000× cheaper per document than a
+    flatten + segment-sum numpy kernel (`_margin_udf`) with the weights
+    captured in the closure — zero joins, zero per-row Python, vs a
     Spark HOF fold whose lambda is interpreted per element (the jaro.py
-    lesson applied at design time).
+    lesson applied at design time). Known remaining interpreted cost:
+    the bucket HASHING in `_buckets_col` is an `F.transform` HOF whose
+    lambda is interpreted per token (~20µs/element) — accepted, because
+    the only alternative is per-token Python hashing inside the kernel;
+    the vectorization win stops at the summation.
   * gradient pass: the SAME scan explodes (bucket, per-doc error
     quantum) pairs; a groupBy(bucket) with map-side partial aggregation
     reduces every partition to <= B+1 rows before the only shuffle; B+1
@@ -53,6 +57,7 @@ score (`knowledgebase/KeyphrasenessIndexBuilder.java`).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,20 +93,38 @@ def _buckets_sql(expr: str, n_buckets: int, seed: int) -> str:
 
 
 def _margin_udf(weights: list[int]):
-    """Vectorized Arrow margin kernel: Σ w[b] over a doc's bucket array
-    by numpy fancy-indexing — exact int64, ~1µs/doc. A Spark HOF fold
-    (aggregate + element_at) computes the same sum but its lambda is
-    interpreted per ELEMENT (~20µs each; see the array-literal note in
-    dsir.py), which at 10^2 features/doc is ~2000× slower per document —
-    this is the jaro.py precedent: Arrow-batched numpy for the per-token
-    hot loop, never per-row Python. Integer sums are order-exact, so
-    oracle parity is untouched."""
+    """Fully vectorized Arrow margin kernel: Σ w[b] over every doc's
+    bucket array with ZERO per-row Python — the whole batch is flattened
+    once (`np.concatenate`) and segment-summed in one pass
+    (`np.add.reduceat` at offsets derived from the array lengths). Exact
+    int64 segment sums, so the result is bit-identical to the per-row
+    fancy-index form it replaces (VERDICT r3 item 3) and to the HOF fold
+    before that — but with no Python lambda in the loop at all (the
+    previous `Series.map(lambda …)` paid a lambda + two numpy allocs per
+    document, T+1 times over the corpus). reduceat is safe here because
+    every bucket array is non-empty by construction (the trailing bias
+    bucket), so offsets are strictly inside the flat array.
+
+    Remaining interpreted cost, accepted and documented: the bucket
+    arrays themselves come from `_buckets_col`, whose `F.transform`
+    lambda hashes per ELEMENT interpreted (~the dsir/jaro 20µs cost) —
+    Spark HOF lambdas never enter codegen. Moving the hashing into this
+    kernel would mean reimplementing Spark's xxhash64/md5 per token in
+    Python, which is per-element Python again; the win stops at the
+    summation."""
     import numpy as np
 
     w_np = np.asarray(weights, dtype=np.int64)
 
     def _m(bs):
-        return bs.map(lambda a: int(w_np[np.asarray(a, dtype=np.int64)].sum()))
+        arrs = list(bs)
+        if not arrs:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter(map(len, arrs), count=len(arrs), dtype=np.int64)
+        flat = np.concatenate(arrs).astype(np.int64, copy=False)
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        return pd.Series(np.add.reduceat(w_np[flat], offsets))
 
     return F.pandas_udf(_m, "long")
 
@@ -145,8 +168,13 @@ def train_quality_classifier(
     # persisted table write at that scale)
     base = base.localCheckpoint()
     n_docs = base.count()
-    den = n_docs * QC_LR_DEN
     w = [0] * (n_buckets + 1)
+    if n_docs == 0:
+        # no documents → zero gradient → the zero model; returning early
+        # avoids a ZeroDivisionError in the update denominator (the SQL
+        # twin's qc_final is empty on an empty corpus, so parity holds)
+        return w
+    den = n_docs * QC_LR_DEN
     for _ in range(n_steps):
         nf, _z, p = _z_p_cols(F.col("_m"))
         e = F.floor((p - F.col("_y")) * F.lit(1_000_000.0) / nf).cast("long")

@@ -92,3 +92,25 @@ def test_adjacent_repeat_merges_alternate_occurrences(spark):
     m2, v2 = BPE.learn_merges(recs, n_merges=2)
     assert m2[1][1:] == ("a a", "aa", 1)
     assert v2.collect()[0]["sym"] == " aa aa "
+
+
+def test_doc_tokens_oov_falls_back_to_characters(spark, corpus):
+    """ADVICE r3: with a PRE-TRAINED vocab, out-of-vocabulary words are
+    not silently dropped — they tokenize at the character level (no
+    learned merge applies), and an all-OOV document still appears."""
+    _, vocab = BPE.learn_merges(corpus, n_merges=6)
+    probe = spark.createDataFrame(
+        [(1, ["hug", "zebra"]), (2, ["qq"])],
+        "doc_id long, tokens array<string>",
+    )
+    out = {r["doc_id"]: r for r in BPE.bpe_doc_tokens(probe, vocab=vocab).collect()}
+    # doc 1: "hug" merges to 1+1 tokens ("hug" + end marker handling per
+    # the learned sym), "zebra" is OOV → its base char symbolization
+    base_zebra = len("zebra")
+    hug_len = next(
+        len(r["sym"].split()) for r in vocab.collect() if r["word"] == "hug"
+    )
+    assert out[1]["n_words"] == 2
+    assert out[1]["n_tokens"] == hug_len + base_zebra
+    # doc 2 is ALL OOV and still present, at character granularity
+    assert out[2]["n_words"] == 1 and out[2]["n_tokens"] == len("qq")

@@ -99,3 +99,42 @@ def test_conversation_grain_neardup(spark):
     got = {tuple(sorted((r["a_id"], r["b_id"])))
            for r in D.minhash_neardup_pairs(convs).collect()}
     assert got == {(0, 1)}
+
+
+def test_conversation_records_bounds_runaway_sessions(spark):
+    """VERDICT r3 item 5: a planted 10k-turn runaway agent session is
+    truncated at max_turns INSIDE the roll-up (the aggregation state
+    never holds more than max_turns turns), with the audit columns
+    recording the untruncated count; normal conversations pass through
+    untouched."""
+    import datetime
+
+    from entity_linking_spark.operators import blocking as B
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (f"conv-{0:06d}", t, "assistant", f"loop step {t} retrying", None, base)
+        for t in range(10_000)
+    ]
+    rows += [
+        (f"conv-{1:06d}", t, "user", f"short conversation turn {t}", None, base)
+        for t in range(3)
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    recs = B.prepare_records(tdf)
+    out = {r["doc_key"]: r for r in CONV.conversation_records(recs, max_turns=64).collect()}
+
+    runaway = out["000000"]
+    assert runaway["n_turns"] == 10_000
+    assert runaway["truncated"] == 1
+    # exactly the first 64 turns survive, in turn order
+    assert runaway["norm_text"].count("loop step") == 64
+    assert runaway["norm_text"].startswith("loop step 0 retrying")
+    assert "loop step 64 " not in runaway["norm_text"]
+
+    normal = out["000001"]
+    assert normal["n_turns"] == 3 and normal["truncated"] == 0
+    assert normal["norm_text"].count("turn") == 3

@@ -111,6 +111,55 @@ def test_semdedup_never_pairs_across_cells(spark, emb_df):
     assert all(r["drops"] == r["n"] - 1 for r in per_cell)
 
 
+def test_semdedup_hot_cell_pair_count_is_bounded(spark):
+    """VERDICT r3 item 1: one hot cell (200 near-identical vectors) must
+    cost O(cell·window) comparisons, not O(cell²) — the bound is enforced
+    by the explode+equi-join plan shape, so the enumerated pair count is
+    exactly Σ min(rnk−1, window) regardless of how hot the cell runs."""
+    n_hot, n_cold, w = 200, 8, 4
+    rng = np.random.RandomState(11)
+    hot = np.tile(np.full(DIM, 0.5), (n_hot, 1)) + rng.normal(0, 1e-4, (n_hot, DIM))
+    cold = rng.normal(loc=-0.5, scale=0.05, size=(n_cold, DIM))
+    # interleave so the first-k init seeds one centroid per blob
+    vecs = np.clip(np.concatenate([hot[:1], cold[:1], hot[1:], cold[1:]]), -1, 1)
+    rows = [(i, [float(v) for v in vecs[i]], 0) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    pairs = EC.semdedup_pairs(df, k=2, iters=2, dim=DIM, window=w)
+    per_cell = {
+        r["cell"]: r["n"]
+        for r in pairs.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    expected = lambda n: sum(min(r - 1, w) for r in range(1, n + 1))
+    assert sorted(per_cell.values()) == sorted([expected(n_hot), expected(n_cold)])
+    assert pairs.count() <= (n_hot + n_cold) * w
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan  # the window is an equi-join on (cell, rank)
+
+    # the hot cell still deduplicates: identical vectors are rank-adjacent,
+    # so everything except the rank-1 representative is dropped
+    out = EC.semdedup_drops(df, k=2, iters=2, tau=0.999, dim=DIM, window=w)
+    hot_ids = {0} | set(range(2, n_hot + 1))
+    drops = {r["vec_id"] for r in out.filter(F.col("is_dup") == 1).collect()}
+    assert len(hot_ids - drops) == 1  # exactly one kept representative
+    assert drops <= hot_ids  # the scattered cold blob has no 0.999-dups
+
+
+def test_semdedup_window_limits_comparisons(spark, emb_df):
+    """window=1 compares only rank-adjacent members: with tau=-1 every
+    comparison is a hit, so drops per cell are still n−1 (each rank>1
+    member is flagged by its immediate predecessor)."""
+    df, _ = emb_df
+    out = EC.semdedup_drops(df, k=K, iters=ITERS, tau=-1.0, dim=DIM, window=1)
+    per_cell = (
+        out.groupBy("cell")
+        .agg(F.sum("is_dup").alias("drops"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["drops"] == r["n"] - 1 for r in per_cell)
+
+
 def test_kmeans_assignment_plan_has_no_join(spark, emb_df):
     df, _ = emb_df
     assigned, _ = EC.kmeans_fit(df, k=K, iters=ITERS, dim=DIM)

@@ -134,3 +134,78 @@ def test_stream_folds_batches_and_resumes(spark, stream_env):
     assert final["rows"]["records"] == tdf.count()
     assert final["rows"]["clusters"] == tdf.count()
     assert final["wall_ms"] > 0
+
+
+def test_stream_crash_before_pointer_commit_preserves_state(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-consistency (VERDICT r3 stretch): kill the fold AFTER the new
+    version's state files are written but BEFORE the `_VERSION` pointer's
+    os.replace. The previously committed state must be untouched, and a
+    restarted stream must replay the interrupted batch (at-least-once
+    foreachBatch + idempotent versioned write) and converge to the
+    batch-twin clustering."""
+    import json
+
+    dirs = {
+        "input": str(tmp_path / "input"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(dirs["input"])
+    tdf, _ = synth_transcripts(spark, n_convs=30, n_entities=6, seed=23)
+    b0 = tdf.filter(F.col("conv_id") < "conv-000015")
+    b1 = tdf.filter(F.col("conv_id") >= "conv-000015")
+
+    # batch 0 commits normally
+    _land_batch(b0, tmp_path, dirs["input"], "batch0")
+    query, state = run_incremental_stream(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], CFG
+    )
+    query.awaitTermination(300)
+    v0 = state.version()
+    assert v0 is not None
+    committed = _clusters_set(state.load("clusters"))
+
+    # batch 1 lands; the pointer commit dies (simulated crash)
+    _land_batch(b1, tmp_path, dirs["input"], "batch1")
+    real_replace = os.replace
+
+    def dying_replace(src, dst, *a, **kw):
+        if str(dst).endswith("_VERSION"):
+            raise OSError("simulated crash before version-pointer commit")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", dying_replace)
+    query, state = run_incremental_stream(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], CFG
+    )
+    with pytest.raises(Exception):
+        query.awaitTermination(300)
+        # availableNow drain: if no exception surfaced, the query must
+        # still report the injected failure
+        if query.exception() is not None:
+            raise query.exception()
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # the previous version is intact: pointer, tables, and clustering
+    assert state.version() == v0
+    assert _clusters_set(state.load("clusters")) == committed
+
+    # restart: Spark's checkpoint replays the uncommitted batch; the
+    # replay overwrites its own half-written version and commits
+    query, state = run_incremental_stream(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], CFG
+    )
+    query.awaitTermination(300)
+    v1 = state.version()
+    assert v1 is not None and v1 > v0
+    want = _clusters_set(_full_batch_clusters(spark, tdf))
+    assert _clusters_set(state.load("clusters")) == want
+
+    # audit trail: the interrupted attempt left a metrics line for v1
+    # with no committed pointer at the time — so v1 appears TWICE
+    # (failed attempt + successful replay), the documented marker
+    with open(os.path.join(dirs["state"], "metrics.jsonl")) as f:
+        versions = [json.loads(x)["version"] for x in f if x.strip()]
+    assert versions.count(v1) == 2
