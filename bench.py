@@ -146,13 +146,15 @@ def main() -> None:
         ),
     }
     spark.stop()
-    # pass-1 cold timings go on their OWN earlier line + a sidecar file:
-    # the driver captures only the stdout tail, and r3's single line with
-    # BOTH dicts (~7 KB) was truncated mid-line → BENCH_r03.json parsed
-    # null (VERDICT r3 item 2). The FINAL line stays compact (medians
-    # only, no-space separators) so the tail always contains one complete
-    # parseable object including the headline value.
+    # pass-1 cold timings + the FULL medians dict go on their OWN earlier
+    # lines + a sidecar file: the driver captures only the LAST 2000
+    # BYTES of stdout (measured from BENCH_r03.json's "tail" field), and
+    # r3's single line with both dicts (~7 KB) was truncated mid-line →
+    # parsed null (VERDICT r3 item 2). The FINAL line is built under a
+    # hard byte budget below so the captured tail always contains one
+    # complete parseable object including the headline value.
     print(json.dumps({"queries_cold": cold}, separators=(",", ":")))
+    print(json.dumps({"queries_median_full": timings}, separators=(",", ":")))
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -181,7 +183,28 @@ def main() -> None:
             "high": hi,
             "efficiency": round(eff, 3),
         }
-    print(json.dumps(out, separators=(",", ":")))
+    # Hard 1900-byte budget for the final line (driver tail capture is
+    # 2000 bytes): keep every non-query field, then admit per-query
+    # medians in queries()-order — headline chain first — until the
+    # serialized line would exceed the budget. The full dict is always on
+    # the earlier queries_median_full line and in bench_details.json.
+    budget = 1900
+    kept: dict[str, float] = {}
+    out["queries"] = kept
+    out["queries_elided"] = 0
+    base_len = len(json.dumps(out, separators=(",", ":")))
+    used = base_len
+    for name in order:
+        entry_len = len(json.dumps({name: timings[name]},
+                                   separators=(",", ":"))) - 1
+        if used + entry_len > budget:
+            break
+        kept[name] = timings[name]
+        used += entry_len
+    out["queries_elided"] = len(order) - len(kept)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= budget + 32, len(line)
+    print(line)
 
 
 if __name__ == "__main__":
