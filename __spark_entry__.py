@@ -38,6 +38,7 @@ from entity_linking_spark.operators import qualclf as QC
 from entity_linking_spark.operators import embedcluster as EC
 from entity_linking_spark.operators import evaluation as EVAL
 from entity_linking_spark.operators import events as EV
+from entity_linking_spark.operators import fellegi as FS
 from entity_linking_spark.operators import graphwalk as GW
 from entity_linking_spark.operators import multimodal as MM
 from entity_linking_spark.operators import pairs as P
@@ -418,6 +419,47 @@ def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EVAL.clustering_agreement(
         q_entity_clusters(spark, sf_dir), q_incremental_clusters(spark, sf_dir)
     )
+
+
+def q_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter match-weight estimation (EM, Winkler 1988): the
+    fitted model card — λ and per-field m/u probabilities as exact micro
+    ints. The pair corpus crosses ONE exchange (γ-pattern contingency
+    groupBy, ≤18 rows); the EM trajectory runs on the driver and is
+    replayed bit-for-bit by the DuckDB oracle (operators/fellegi.py)."""
+    return FS.fs_em_params(_features(spark, sf_dir))
+
+
+def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair FS posterior under the fitted model — a zero-extra-shuffle
+    scan with the parameters inlined as literal expressions, the
+    unsupervised alternative to the calibrated logistic combiner."""
+    return FS.fs_match_scores(_features(spark, sf_dir))
+
+
+def q_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected clustering agreement (ARI, Hubert & Arabie 1985)
+    between the full and incremental clusterings — contingency-count
+    form, no pair materialization (operators/evaluation.py)."""
+    return EVAL.adjusted_rand(
+        q_entity_clusters(spark, sf_dir), q_incremental_clusters(spark, sf_dir)
+    )
+
+
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the
+    incremental clustering against the full batch clustering as truth —
+    the per-record ER metric; three groupBys, micro-int quantized."""
+    return EVAL.bcubed(
+        q_incremental_clusters(spark, sf_dir), q_entity_clusters(spark, sf_dir)
+    )
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking audit (Christen 2012): reduction ratio vs C(N,2) and the
+    fraction of same-cluster pairs directly enumerated by blocking (the
+    complement is what transitive closure contributed)."""
+    return EVAL.blocking_quality(_pairs(spark, sf_dir), _clusters(spark, sf_dir))
 
 
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,8 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head keeps the 7-stage flagship linking chain (always gated, every
     round) and otherwise consists EXCLUSIVELY of the 43 queries that had
     never had a driver-gate row through round 3 — so CORRECTNESS_r04 ∪
-    CORRECTNESS_r03 covers 93 distinct queries (the 14 still-ungated
-    tail entries are queued for the round-5 window). Gate-set history:
+    CORRECTNESS_r03 covers 93 distinct queries (the still-ungated tail —
+    14 carried entries plus the 5 operators NEW in round 4 — is queued
+    for the round-5 window). Gate-set history:
     r1 38/38 · r2 first 50 of 64 · r3 first 50 of 106 (head as committed
     at 631bdcb) · r4 this head. Cross-round gate comparisons must account
     for the rotation — a query missing from one round's artifact was
@@ -1556,7 +1599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_attr": q_events_session_attr,
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3,
-        # never gated yet — queued for the round-5 window:
+        # never gated yet — queued for the round-5 window (includes the
+        # five operators NEW in round 4: Fellegi–Sunter EM + ER metrics):
+        "fs_em_params": q_fs_em_params,
+        "fs_match_scores": q_fs_match_scores,
+        "adjusted_rand": q_adjusted_rand,
+        "bcubed": q_bcubed,
+        "blocking_quality": q_blocking_quality,
         "blocks_first_token": q_first_token_blocks,
         "simhash_signatures": q_simhash_signatures,
         "embed_signatures": q_embed_signatures,
@@ -1690,6 +1739,30 @@ def oracle_sql() -> dict[str, str]:
             f"WITH ca AS MATERIALIZED ({ORACLE.clusters_oracle_sql(CFG)}), "
             f"cb AS MATERIALIZED ({ORACLE.incremental_oracle_sql(LinkingConfig(**_INC_CFG_KW))}) "
             + EVAL.clustering_agreement_sql("SELECT * FROM ca", "SELECT * FROM cb")
+        ),
+        "adjusted_rand": (
+            f"WITH ca AS MATERIALIZED ({ORACLE.clusters_oracle_sql(CFG)}), "
+            f"cb AS MATERIALIZED ({ORACLE.incremental_oracle_sql(LinkingConfig(**_INC_CFG_KW))}) "
+            + EVAL.adjusted_rand_sql("SELECT * FROM ca", "SELECT * FROM cb")
+        ),
+        "bcubed": EVAL.bcubed_sql(
+            "SELECT * FROM cb",
+            "SELECT * FROM ca",
+            prefix_ctes=(
+                f"ca AS MATERIALIZED ({ORACLE.clusters_oracle_sql(CFG)}), "
+                f"cb AS MATERIALIZED ({ORACLE.incremental_oracle_sql(LinkingConfig(**_INC_CFG_KW))})"
+            ),
+        ),
+        "blocking_quality": (
+            f"WITH cl AS MATERIALIZED ({ORACLE.clusters_oracle_sql(CFG)}), "
+            f"cp AS MATERIALIZED ({ORACLE.stage_sql('SELECT a_key, b_key FROM pairs', CFG)}) "
+            + EVAL.blocking_quality_sql("SELECT * FROM cp", "SELECT * FROM cl")
+        ),
+        "fs_em_params": FS.fs_em_params_sql(
+            "SELECT * FROM features", prefix_ctes=ORACLE.pipeline_ctes(CFG)
+        ),
+        "fs_match_scores": FS.fs_match_scores_sql(
+            "SELECT * FROM features", prefix_ctes=ORACLE.pipeline_ctes(CFG)
         ),
         "cluster_members": (
             "SELECT cluster_id, "

@@ -189,6 +189,228 @@ def clustering_agreement(clusters_a: DataFrame, clusters_b: DataFrame) -> DataFr
     )
 
 
+def adjusted_rand(clusters_a: DataFrame, clusters_b: DataFrame) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two clusterings —
+    the chance-corrected companion to `clustering_agreement`'s raw Rand.
+    Built ON the agreement frame's exact-integer pair counts, so the only
+    float arithmetic is one fixed expression tree over a single row:
+
+        A = agree_both + only_a, B = agree_both + only_b   (exact int64)
+        E = A·B / pairs_total                              (expected index)
+        ARI = (agree_both − E) / ((A+B)/2 − E)
+
+    Every double op is correctly rounded on a pinned order, so the DuckDB
+    twin matches bit-for-bit; round(·,6) only compresses the printout.
+    den == 0 (both clusterings all-singleton or all-one) → ARI = 1 by the
+    usual convention. Same 3-groupBy scale shape as clustering_agreement."""
+    base = clustering_agreement(clusters_a, clusters_b)
+    a = (F.col("agree_both") + F.col("only_a")).cast("long")
+    b = (F.col("agree_both") + F.col("only_b")).cast("long")
+    p_safe = F.greatest(F.col("pairs_total"), F.lit(1)).cast("double")
+    e = (a.cast("double") * b) / p_safe
+    num = F.col("agree_both").cast("double") - e
+    den = ((a + b).cast("double") / F.lit(2.0)) - e
+    ari = F.when(den == 0, F.lit(1.0)).otherwise(F.round(num / den, 6))
+    return base.select(
+        "n_records",
+        "pairs_total",
+        "agree_both",
+        a.alias("same_a"),
+        b.alias("same_b"),
+        ari.alias("ari"),
+    )
+
+
+def adjusted_rand_sql(clusters_a_rel: str, clusters_b_rel: str) -> str:
+    inner = clustering_agreement_sql(clusters_a_rel, clusters_b_rel)
+    a = "CAST(agree_both + only_a AS BIGINT)"
+    b = "CAST(agree_both + only_b AS BIGINT)"
+    p_safe = "CAST(greatest(pairs_total, 1) AS DOUBLE)"
+    e = f"((CAST({a} AS DOUBLE) * {b}) / {p_safe})"
+    num = f"(CAST(agree_both AS DOUBLE) - {e})"
+    den = f"((CAST({a} + {b} AS DOUBLE) / 2.0) - {e})"
+    return f"""
+    SELECT n_records, pairs_total, agree_both,
+           {a} AS same_a, {b} AS same_b,
+           CASE WHEN {den} = 0 THEN 1.0 ELSE round({num} / {den}, 6) END AS ari
+    FROM ({inner})
+    """
+
+
+def bcubed(clusters: DataFrame, truth: DataFrame) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of `clusters`
+    against the `truth` partition — the per-record ER metric that, unlike
+    pairwise F1, weights every record equally instead of quadratically
+    favoring big clusters. Inputs: (rec_key, cluster_id) each (truth's
+    cluster_id column is its entity/partition id).
+
+    Scale-correct form: with n_ij the contingency cell counts,
+    B³ precision = (1/N)·Σ_i (Σ_j n_ij²)/n_i· and recall mirrors over
+    columns — three groupBys over N rows total, never per-record pairs
+    (the clustering_agreement discipline). Exactness: per-group
+    contributions are floor-quantized to micro units (floor(1e6·S/n), one
+    pinned double division each — the dsir/qualclf quantization argument),
+    then summed as exact int64 and divided by N in exact integer
+    arithmetic; quantization biases each metric < 1e-6 absolute and makes
+    the value engine-portable. Output (one row): n_records,
+    bcubed_precision_micro, bcubed_recall_micro, bcubed_f1_micro.
+    int64 bounds: per-cell n_ij < 3e9 (n² < 2^63) and Σ quantized
+    contributions ≤ 1e6·N — fine through 10^12 records."""
+    j = clusters.select(
+        "rec_key", F.col("cluster_id").alias("a_cl")
+    ).join(truth.select("rec_key", F.col("cluster_id").alias("b_cl")), "rec_key")
+    cells = j.groupBy("a_cl", "b_cl").agg(F.count("*").alias("n"))
+    quant = lambda s, m: F.floor(  # noqa: E731
+        (F.lit(1_000_000.0) * s) / m
+    ).cast("long")
+    per_a = (
+        cells.groupBy("a_cl")
+        .agg(F.sum(F.col("n") * F.col("n")).alias("s"), F.sum("n").alias("m"))
+        .agg(
+            F.sum(quant(F.col("s"), F.col("m"))).alias("p_sum"),
+            F.sum("m").alias("n_records"),
+        )
+    )
+    per_b = (
+        cells.groupBy("b_cl")
+        .agg(F.sum(F.col("n") * F.col("n")).alias("s"), F.sum("n").alias("m"))
+        .agg(F.sum(quant(F.col("s"), F.col("m"))).alias("r_sum"))
+    )
+    out = per_a.crossJoin(per_b)
+    # pinned double division + floor (NOT integer //) so the SQL twin can
+    # use the identical correctly-rounded expression tree
+    n_safe = F.greatest(F.col("n_records"), F.lit(1)).cast("double")
+    p = F.floor(F.col("p_sum").cast("double") / n_safe).cast("long")
+    r = F.floor(F.col("r_sum").cast("double") / n_safe).cast("long")
+    f1 = F.floor(
+        ((F.lit(2.0) * p) * r) / F.greatest((p + r).cast("double"), F.lit(1.0))
+    ).cast("long")
+    return out.select(
+        "n_records",
+        p.alias("bcubed_precision_micro"),
+        r.alias("bcubed_recall_micro"),
+        f1.alias("bcubed_f1_micro"),
+    )
+
+
+def bcubed_sql(clusters_rel: str, truth_rel: str, prefix_ctes: str = "") -> str:
+    pre = f"{prefix_ctes}," if prefix_ctes else ""
+    cells = f"""
+      SELECT a.cluster_id AS a_cl, b.cluster_id AS b_cl, count(*) AS n
+      FROM ({clusters_rel}) a JOIN ({truth_rel}) b USING (rec_key)
+      GROUP BY a.cluster_id, b.cluster_id
+    """
+    quant = "CAST(floor((1000000.0 * s) / m) AS BIGINT)"
+
+    def grp(key: str) -> str:
+        return f"""(
+      SELECT CAST(sum({quant}) AS BIGINT) AS q_sum, CAST(sum(m) AS BIGINT) AS n_rec
+      FROM (SELECT CAST(sum(n * n) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS m
+            FROM cells GROUP BY {key})
+    )"""
+
+    micro = (
+        "CAST(floor(CAST(q_sum AS DOUBLE) "
+        "/ CAST(greatest(n_rec, 1) AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+    WITH {pre} cells AS MATERIALIZED ({cells}),
+    pa AS {grp('a_cl')},
+    pb AS {grp('b_cl')},
+    pr AS (
+      SELECT pa.n_rec AS n_records,
+             (SELECT {micro} FROM pa) AS p,
+             (SELECT {micro} FROM pb) AS r
+      FROM pa
+    )
+    SELECT n_records, p AS bcubed_precision_micro, r AS bcubed_recall_micro,
+           CAST(floor(((2.0 * p) * r)
+                      / greatest(CAST(p + r AS DOUBLE), 1.0)) AS BIGINT)
+             AS bcubed_f1_micro
+    FROM pr
+    """
+
+
+def blocking_quality(candidate_pairs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """One-row blocking audit: reduction ratio and pairs completeness —
+    the two standard blocking metrics (Christen 2012) — measured against
+    the final clustering as the same-entity partition. Completeness here
+    is the fraction of same-cluster pairs DIRECTLY enumerated by blocking
+    (the rest were linked transitively), i.e. how much the transitive
+    closure is doing; reduction ratio = 1 − |candidates| / C(N,2).
+
+    Never enumerates same-cluster pairs: the denominator is Σ C(size,2)
+    over cluster sizes (one groupBy), the numerator joins the candidate
+    list (already bounded by the block cap) to the cluster map twice.
+    Ratios are floor-quantized micro ints over pinned double divisions —
+    exact-int overflow-free through 10^12 records (C(N,2) is computed in
+    double, never as int64)."""
+    ca = clusters.select(F.col("rec_key").alias("a_key"), F.col("cluster_id").alias("a_cl"))
+    cb = clusters.select(F.col("rec_key").alias("b_key"), F.col("cluster_id").alias("b_cl"))
+    hits = (
+        candidate_pairs.join(ca, "a_key")
+        .join(cb, "b_key")
+        .agg(
+            F.count("*").alias("n_candidate_pairs"),
+            F.sum((F.col("a_cl") == F.col("b_cl")).cast("long")).alias(
+                "n_intra_candidates"
+            ),
+        )
+    )
+    c2 = lambda c: F.shiftright((c * (c - 1)).cast("long"), 1)  # noqa: E731
+    tot = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(c2(F.col("n"))).alias("n_intra_total"),
+            F.sum("n").alias("n_records"),
+        )
+    )
+    out = hits.crossJoin(tot)
+    comp = F.floor(
+        (F.lit(1_000_000.0) * F.col("n_intra_candidates"))
+        / F.greatest(F.col("n_intra_total"), F.lit(1)).cast("double")
+    ).cast("long")
+    c2n = (F.col("n_records").cast("double") * (F.col("n_records") - F.lit(1))) / F.lit(2.0)
+    frac = F.col("n_candidate_pairs").cast("double") / F.greatest(c2n, F.lit(1.0))
+    red = F.floor(F.lit(1_000_000.0) * (F.lit(1.0) - frac)).cast("long")
+    return out.select(
+        "n_records",
+        F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+        F.coalesce("n_intra_candidates", F.lit(0)).alias("n_intra_candidates"),
+        "n_intra_total",
+        comp.alias("pairs_completeness_micro"),
+        red.alias("reduction_ratio_micro"),
+    )
+
+
+def blocking_quality_sql(pairs_rel: str, clusters_rel: str) -> str:
+    return f"""
+    SELECT t.n_records, h.n_candidate_pairs, h.n_intra_candidates,
+           t.n_intra_total,
+           CAST(floor((1000000.0 * h.n_intra_candidates)
+                      / CAST(greatest(t.n_intra_total, 1) AS DOUBLE)) AS BIGINT)
+             AS pairs_completeness_micro,
+           CAST(floor(1000000.0 * (1.0 - (CAST(h.n_candidate_pairs AS DOUBLE)
+                / greatest((CAST(t.n_records AS DOUBLE) * (t.n_records - 1)) / 2.0,
+                           1.0)))) AS BIGINT)
+             AS reduction_ratio_micro
+    FROM (
+      SELECT count(*) AS n_candidate_pairs,
+             coalesce(CAST(sum(CAST(ca.cluster_id = cb.cluster_id AS BIGINT)) AS BIGINT), 0)
+               AS n_intra_candidates
+      FROM ({pairs_rel}) p
+      JOIN ({clusters_rel}) ca ON p.a_key = ca.rec_key
+      JOIN ({clusters_rel}) cb ON p.b_key = cb.rec_key
+    ) h
+    CROSS JOIN (
+      SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_intra_total,
+             CAST(sum(n) AS BIGINT) AS n_records
+      FROM (SELECT count(*) AS n FROM ({clusters_rel}) GROUP BY cluster_id)
+    ) t
+    """
+
+
 def clustering_agreement_sql(clusters_a_rel: str, clusters_b_rel: str) -> str:
     c2 = lambda c: f"CAST(({c} * ({c} - 1)) // 2 AS BIGINT)"  # noqa: E731
     return f"""

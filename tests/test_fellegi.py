@@ -1,0 +1,157 @@
+"""Fellegi–Sunter EM fit + ER evaluation metrics (ARI, B-cubed, blocking
+quality) — semantic unit tests on hand-built fixtures with known answers,
+plus plan pins for the module's scale claims (one exchange for the fit;
+zero-extra-shuffle scoring under explicit params)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from entity_linking_spark.operators import evaluation as EVAL
+from entity_linking_spark.operators import fellegi as FS
+
+FEATURE_SCHEMA = (
+    "a_key string, b_key string, a_norm string, b_norm string, "
+    "inter int, uni int, lev int, maxlen int, exact int"
+)
+
+
+def _feat(a, b, inter, uni, lev, maxlen, exact):
+    return (a, b, "x", "y", inter, uni, lev, maxlen, exact)
+
+
+def _separable_features(spark, n_match=40, n_diff=160):
+    """n_match clear matches (exact, full overlap, lev 0) and n_diff clear
+    non-matches (no overlap, lev == maxlen)."""
+    rows = [
+        _feat(f"m{i}a", f"m{i}b", 5, 5, 0, 10, 1) for i in range(n_match)
+    ] + [
+        _feat(f"d{i}a", f"d{i}b", 0, 10, 10, 10, 0) for i in range(n_diff)
+    ]
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+def test_em_separates_clear_mixture(spark):
+    feats = _separable_features(spark)
+    params = FS.fit_fs_em_spark(feats)
+    # λ converges to the true match fraction (40/200 = 20%)
+    assert abs(params["lam"] - 200_000) < 5_000
+    # matches favor agreement levels, non-matches favor disagreement
+    assert params["m1_1"] > 900_000 and params["u1_1"] < 100_000
+    assert params["m2_2"] > 900_000 and params["u2_0"] > 900_000
+    scored = FS.fs_match_scores(feats, params=params).collect()
+    by_key = {r["a_key"]: r for r in scored}
+    assert all(by_key[f"m{i}a"]["fs_match"] == 1 for i in range(40))
+    assert all(by_key[f"d{i}a"]["fs_match"] == 0 for i in range(160))
+    # posterior is the pinned-tree micro quantity
+    r = by_key["m0a"]
+    g = (r["g_exact"], r["g_jacc"], r["g_lev"])
+    assert g == (1, 2, 2)
+    expect = FS._posterior_micro(
+        params["lam"], params["m1_1"], params["m2_2"], params["m3_2"],
+        params["u1_1"], params["u2_2"], params["u3_2"],
+    )
+    assert r["posterior_micro"] == expect
+
+
+def test_em_empty_input_returns_init(spark):
+    feats = spark.createDataFrame([], FEATURE_SCHEMA)
+    params = FS.fit_fs_em_spark(feats)
+    init = FS._params_flat(FS.FS_INIT["lam"], FS.FS_INIT["m"], FS.FS_INIT["u"])
+    assert params == init
+    card = FS.fs_em_params(feats).collect()[0]
+    assert card["n_pairs"] == 0 and card["lam"] == init["lam"]
+
+
+def test_em_driver_fit_is_pure_function():
+    """The driver fit is deterministic from the pattern multiset (order-free
+    M-step) — permuting pattern rows cannot change the trajectory."""
+    pats = [
+        {"g_exact": 1, "g_jacc": 2, "g_lev": 2, "n": 37},
+        {"g_exact": 0, "g_jacc": 0, "g_lev": 0, "n": 211},
+        {"g_exact": 0, "g_jacc": 1, "g_lev": 1, "n": 13},
+        {"g_exact": 1, "g_jacc": 1, "g_lev": 2, "n": 5},
+    ]
+    a = FS.fit_fs_em(pats)
+    b = FS.fit_fs_em(list(reversed(pats)))
+    assert a == b
+    assert all(1 <= v <= FS.MICRO - 1 for v in a.values())
+
+
+def test_fs_plan_shapes(spark):
+    """Scale pins: the pattern table is ONE exchange over the pair set;
+    scoring under explicit params adds ZERO exchanges and ZERO joins."""
+    feats = _separable_features(spark)
+    pat_plan = FS.gamma_patterns(feats)._jdf.queryExecution().executedPlan().toString()
+    assert pat_plan.count("Exchange") == 1
+    params = FS._params_flat(FS.FS_INIT["lam"], FS.FS_INIT["m"], FS.FS_INIT["u"])
+    score_plan = (
+        FS.fs_match_scores(feats, params=params)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in score_plan
+    assert "Join" not in score_plan
+
+
+def _clusters(spark, assign):
+    return spark.createDataFrame(
+        [(k, v) for k, v in assign.items()], "rec_key string, cluster_id string"
+    )
+
+
+def test_adjusted_rand_identical_and_known(spark):
+    a = _clusters(spark, {"r1": "x", "r2": "x", "r3": "y", "r4": "y"})
+    ident = EVAL.adjusted_rand(a, a).collect()[0]
+    assert ident["ari"] == 1.0
+    # a = {r1,r2},{r3,r4}; b = {r1,r2,r3},{r4}:
+    # agree_both=1, same_a=2, same_b=3, pairs_total=6
+    # E = 2*3/6 = 1; num = 1-1 = 0; den = 2.5-1 = 1.5 → ARI 0
+    b = _clusters(spark, {"r1": "p", "r2": "p", "r3": "p", "r4": "q"})
+    r = EVAL.adjusted_rand(a, b).collect()[0]
+    assert (r["agree_both"], r["same_a"], r["same_b"]) == (1, 2, 3)
+    assert r["ari"] == 0.0
+    # all-singleton vs all-singleton hits the den==0 convention
+    s = _clusters(spark, {"r1": "1", "r2": "2", "r3": "3", "r4": "4"})
+    assert EVAL.adjusted_rand(s, s).collect()[0]["ari"] == 1.0
+
+
+def test_bcubed_identical_and_known(spark):
+    truth = _clusters(spark, {"r1": "x", "r2": "x", "r3": "x", "r4": "y"})
+    ident = EVAL.bcubed(truth, truth).collect()[0]
+    assert ident["bcubed_precision_micro"] == 1_000_000
+    assert ident["bcubed_recall_micro"] == 1_000_000
+    assert ident["bcubed_f1_micro"] == 1_000_000
+    # clusters = {r1,r2},{r3,r4}; truth = {r1,r2,r3},{r4}
+    # precision: cells (a,b): {r1,r2}→x:2 ; {r3,r4}→x:1,y:1
+    #   per a-cluster: 4/2=2.0 and (1+1)/2=1.0 → Σq = 2e6+1e6, P = 3e6/4
+    # recall: per truth cluster x: (4+1)/3 ; y: 1/1 → floor(5e6/3)+1e6, /4
+    pred = _clusters(spark, {"r1": "p", "r2": "p", "r3": "q", "r4": "q"})
+    r = EVAL.bcubed(pred, truth).collect()[0]
+    assert r["bcubed_precision_micro"] == 750_000
+    assert r["bcubed_recall_micro"] == (math.floor(5_000_000 / 3) + 1_000_000) // 4
+    p, rr = r["bcubed_precision_micro"], r["bcubed_recall_micro"]
+    assert r["bcubed_f1_micro"] == math.floor((2.0 * p) * rr / float(p + rr))
+
+
+def test_blocking_quality_known(spark):
+    clusters = _clusters(
+        spark, {"r1": "x", "r2": "x", "r3": "x", "r4": "y", "r5": "y"}
+    )
+    # intra-total = C(3,2)+C(2,2) = 3+1 = 4; candidates enumerate 3 of the
+    # 4 intra pairs plus one cross pair
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r2", "r3"), ("r4", "r5"), ("r1", "r4")],
+        "a_key string, b_key string",
+    )
+    r = EVAL.blocking_quality(pairs, clusters).collect()[0]
+    assert r["n_records"] == 5
+    assert r["n_candidate_pairs"] == 4
+    assert r["n_intra_candidates"] == 3
+    assert r["n_intra_total"] == 4
+    assert r["pairs_completeness_micro"] == 750_000
+    # reduction ratio = 1 - 4/C(5,2) = 1 - 0.4 = 0.6
+    assert r["reduction_ratio_micro"] == 600_000
