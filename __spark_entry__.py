@@ -40,6 +40,7 @@ from entity_linking_spark.operators import evaluation as EVAL
 from entity_linking_spark.operators import events as EV
 from entity_linking_spark.operators import fellegi as FS
 from entity_linking_spark.operators import graphwalk as GW
+from entity_linking_spark.operators import metablocking as MB
 from entity_linking_spark.operators import multimodal as MM
 from entity_linking_spark.operators import pairs as P
 from entity_linking_spark.operators import rangejoin as RJ
@@ -47,6 +48,7 @@ from entity_linking_spark.operators import relational as REL
 from entity_linking_spark.operators import sampling as SMP
 from entity_linking_spark.operators import sketches as SK
 from entity_linking_spark.operators import scoring as S
+from entity_linking_spark.operators import snm as SNM
 from entity_linking_spark.operators import simsearch as SS
 from entity_linking_spark.operators import textanalysis as TA
 from entity_linking_spark.operators import tfidf as TFI
@@ -179,6 +181,62 @@ def q_first_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.token_blocks(_records(spark, sf_dir))
+
+
+def q_phonetic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking: every distinct token keys a block by its
+    Soundex-variant code (functions/phonetic.py), co-blocking sound-alike
+    misspellings that token-equality blocking separates. The fourth
+    blocking family next to key-equality, LSH, and sorted-neighborhood."""
+    return B.phonetic_blocks(_records(spark, sf_dir))
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood candidate pairs (Hernández & Stolfo
+    1995): records ranked by (norm_text, rec_key) and by the reversed
+    key, each compared to its w−1 sorted successors. Global rank via the
+    bucket-spine prefix sum (no global-order window); pairing via a
+    balanced chunk equi-join (no range join) — operators/snm.py."""
+    return SNM.snm_pairs(_records(spark, sf_dir))
+
+
+def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end UNSUPERVISED linking: Fellegi–Sunter posterior ≥ 1/2 as
+    the match decision (no hand-set weights, no calibration labels),
+    then the same large/small-star transitive closure as the flagship
+    chain — the Splink-style alternative tail to `entity_clusters`."""
+    edges = FS.fs_match_scores(_features(spark, sf_dir)).filter(
+        F.col("fs_match") == 1
+    ).select("a_key", "b_key")
+    return C.clusters_with_singletons(
+        _records(spark, sf_dir), edges, max_iter=CFG.cc_max_iter
+    )
+
+
+def q_meta_block_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking comparison graph (Papadakis 2014): every candidate
+    pair weighted by its co-occurrence evidence — CBS (shared capped
+    blocks) and micro-quantized Jaccard over the two records' block
+    sets. One aggregated self-join + two count joins
+    (operators/metablocking.py)."""
+    return MB.pair_block_weights(_capped(spark, sf_dir))
+
+
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-edge-pruned comparison graph: pairs whose Jaccard weight
+    clears the global floor-mean threshold — the evidence-filtered
+    candidate list a 100 TB scorer would consume instead of all
+    co-occurring pairs."""
+    return MB.wep_prune(q_meta_block_weights(spark, sf_dir))
+
+
+def q_meta_blocking_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-node-pruned comparison graph (redefined-CNP union
+    semantics): a pair survives if it ranks in EITHER endpoint's top-k by
+    (js_micro, cbs, partner-key). Per-record windows bounded by each
+    record's own pair list — the per-entity comparison budget a 100 TB
+    scorer would enforce instead of a global threshold."""
+    return MB.cnp_prune(q_meta_block_weights(spark, sf_dir))
 
 
 def q_role_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +493,17 @@ def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with the parameters inlined as literal expressions, the
     unsupervised alternative to the calibrated logistic combiner."""
     return FS.fs_match_scores(_features(spark, sf_dir))
+
+
+def q_fs_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-adjusted FS posterior (Winkler 1988; Splink's
+    term_frequency_adjustments): exact-agreement u replaced per pair by
+    the shared value's clamped micro corpus frequency, demoting agreement
+    on common turns and promoting rare identifiers. One extra equi-join
+    (pairs × value frequencies) over `fs_match_scores`."""
+    return FS.fs_tf_match_scores(
+        _features(spark, sf_dir), _records(spark, sf_dir)
+    )
 
 
 def q_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_embedding_cosine": q_pair_embedding_cosine,
         # — blocking / dictionary variants —
         "blocks_token": q_token_blocks,
+        "blocks_phonetic": q_phonetic_blocks,
         "salted_blocks": q_salted_blocks,
         "fuzzy_dict_blocks": q_fuzzy_dict_blocks,
         # — dedup family —
@@ -1603,9 +1673,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # five operators NEW in round 4: Fellegi–Sunter EM + ER metrics):
         "fs_em_params": q_fs_em_params,
         "fs_match_scores": q_fs_match_scores,
+        "fs_tf_scores": q_fs_tf_scores,
         "adjusted_rand": q_adjusted_rand,
         "bcubed": q_bcubed,
         "blocking_quality": q_blocking_quality,
+        "snm_pairs": q_snm_pairs,
+        "meta_block_weights": q_meta_block_weights,
+        "meta_blocking": q_meta_blocking,
+        "meta_blocking_cnp": q_meta_blocking_cnp,
+        "fs_clusters": q_fs_clusters,
         "blocks_first_token": q_first_token_blocks,
         "simhash_signatures": q_simhash_signatures,
         "embed_signatures": q_embed_signatures,
@@ -1669,7 +1745,29 @@ def oracle_sql() -> dict[str, str]:
             "           ) GROUP BY rec_key) d USING (rec_key)"
         ),
         "blocks_first_token": B.first_token_blocks_sql(recs),
+        "snm_pairs": SNM.snm_pairs_sql(recs),
+        "meta_block_weights": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+            f"capped AS MATERIALIZED "
+            f"({P.cap_blocks_sql('SELECT * FROM blocks', CFG.block_cap)}) "
+            + MB.pair_block_weights_sql("SELECT * FROM capped")
+        ),
+        "meta_blocking": MB.wep_prune_sql(
+            "SELECT * FROM capped",
+            prefix_ctes=(
+                f"{ORACLE.pipeline_ctes(CFG)}, capped AS MATERIALIZED "
+                f"({P.cap_blocks_sql('SELECT * FROM blocks', CFG.block_cap)})"
+            ),
+        ),
+        "meta_blocking_cnp": MB.cnp_prune_sql(
+            "SELECT * FROM capped",
+            prefix_ctes=(
+                f"{ORACLE.pipeline_ctes(CFG)}, capped AS MATERIALIZED "
+                f"({P.cap_blocks_sql('SELECT * FROM blocks', CFG.block_cap)})"
+            ),
+        ),
         "blocks_token": B.token_blocks_sql(recs),
+        "blocks_phonetic": B.phonetic_blocks_sql(recs),
         "alias_dictionary": (
             f"WITH recs AS ({recs}) "
             + DICT.alias_dictionary_sql("SELECT * FROM recs")
@@ -1717,6 +1815,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "match_edges": ORACLE.stage_sql("SELECT * FROM edges", CFG),
         "entity_clusters": ORACLE.clusters_oracle_sql(CFG),
+        "fs_clusters": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+            f"{FS.fs_edges_ctes('SELECT * FROM features')} "
+            "SELECT * FROM ("
+            + C.clusters_sql("SELECT * FROM records", "SELECT * FROM fs_edges")
+            + ")"
+        ),
         "calibration_sweep": (
             f"WITH {ORACLE.pipeline_ctes(CFG)}, "
             f"scoredcal AS (SELECT {S.LOGISTIC_SCORE_SQL} AS score, "
@@ -1763,6 +1868,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fs_match_scores": FS.fs_match_scores_sql(
             "SELECT * FROM features", prefix_ctes=ORACLE.pipeline_ctes(CFG)
+        ),
+        "fs_tf_scores": FS.fs_tf_match_scores_sql(
+            "SELECT * FROM features",
+            "SELECT * FROM records",
+            prefix_ctes=ORACLE.pipeline_ctes(CFG),
         ),
         "cluster_members": (
             "SELECT cluster_id, "

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import normalize as N
+from ..functions import phonetic as PH
 from ..functions import tokenize as Tk
 
 DEFAULT_N_PERM = 16
@@ -103,6 +104,50 @@ def token_blocks(records: DataFrame, min_len: int = MIN_TOKEN_LEN) -> DataFrame:
 def token_blocks_sql(records_rel: str, min_len: int = MIN_TOKEN_LEN) -> str:
     return f"""
     SELECT rec_key, 'tk:' || tok AS block_key
+    FROM (
+      SELECT rec_key, unnest(list_distinct(tokens)) AS tok
+      FROM ({records_rel})
+    ) WHERE length(tok) >= {min_len}
+    """
+
+
+PHONETIC_MIN_TOKEN_LEN = 3
+
+
+def phonetic_blocks(
+    records: DataFrame, min_len: int = PHONETIC_MIN_TOKEN_LEN
+) -> DataFrame:
+    """(rec_key, block_key) — *phonetic blocking*: every distinct token of
+    a record keys a block by its Soundex-variant code
+    (`functions/phonetic.py`), so misspelled / sound-alike variants
+    ("smith"/"smyth", "jon"/"john") co-block where token blocking
+    separates them. min_len=3 skips short tokens whose 4-char codes are
+    mostly padding (near-useless blocks that only feed the cap).
+    Ubiquitous sound classes are handled exactly like stop-word token
+    blocks: the block cap (`pairs.cap_blocks`) drops them. Shape: one
+    narrow explode + one dedup shuffle (unlike `token_blocks`, distinct
+    tokens of one record can code to the SAME key, so (rec_key,
+    block_key) needs a distinct or the cap double-counts members)."""
+    return (
+        records.select(
+            "rec_key", F.explode(F.array_distinct("tokens")).alias("tok")
+        )
+        .filter(F.length("tok") >= min_len)
+        .select(
+            "rec_key",
+            F.concat(
+                F.lit("ph:"), PH.phonetic_key_col(F.col("tok"))
+            ).alias("block_key"),
+        )
+        .distinct()
+    )
+
+
+def phonetic_blocks_sql(
+    records_rel: str, min_len: int = PHONETIC_MIN_TOKEN_LEN
+) -> str:
+    return f"""
+    SELECT DISTINCT rec_key, 'ph:' || {PH.phonetic_key_sql('tok')} AS block_key
     FROM (
       SELECT rec_key, unnest(list_distinct(tokens)) AS tok
       FROM ({records_rel})

@@ -351,6 +351,20 @@ def fs_em_params_sql(
     """
 
 
+def fs_edges_ctes(features_rel: str, n_steps: int = FS_STEPS) -> str:
+    """CTE chain ending in `fs_edges(a_key, b_key)` — the pairs the
+    fitted model calls matches (posterior ≥ 1/2). Lets callers compose
+    the FS decision into a larger query (e.g. the unsupervised
+    clustering tail `fs_clusters`)."""
+    return (
+        _em_ctes(features_rel, n_steps)
+        + f""",
+    fs_g AS (SELECT a_key, b_key, {GAMMA_SQL} FROM ({features_rel})),
+    fs_edges AS (SELECT g.a_key, g.b_key FROM fs_g g CROSS JOIN fs_w{n_steps} w
+                 WHERE {_post_sql('w')} >= {MICRO // 2})"""
+    )
+
+
 def fs_match_scores_sql(
     features_rel: str, n_steps: int = FS_STEPS, prefix_ctes: str = ""
 ) -> str:
@@ -364,4 +378,127 @@ def fs_match_scores_sql(
            {_post_sql('w')} AS posterior_micro,
            CAST({_post_sql('w')} >= {MICRO // 2} AS INT) AS fs_match
     FROM fs_g g CROSS JOIN fs_w{n_steps} w
+    """
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency adjustment (Splink's term_frequency_adjustments)
+# ---------------------------------------------------------------------------
+#
+# The global u1_1 is the probability two random NON-matches agree exactly
+# — an average over all values. Agreement on a COMMON value ("ok",
+# "thanks") is far weaker evidence than agreement on a rare identifier,
+# and the classical fix (Winkler 1988; Splink's term_frequency_adjustments)
+# replaces u for the exact-agreement level with the term frequency of the
+# shared value itself: u1' = n_v / N, clamped to [1, 1e6-1] micro-units.
+# m, λ and the other fields' parameters are untouched, so common-value
+# pairs are demoted and rare-value pairs promoted by exactly their
+# frequency ratio.
+#
+# 100 TB shape: the value-frequency table is ONE partial-agg'd groupBy
+# over records; pairs LEFT-join it on the shared value (an ordinary
+# shuffled equi-join — hot values are bounded because the block cap
+# already bounds how many pairs can share one value); the fitted
+# parameters ride as literals, so scoring adds exactly one exchange over
+# `fs_match_scores`. N (total records) is a 1-row driver probe, same
+# discipline as the module's pattern-table collect.
+
+
+def _tf_u1_micro(n_records: int):
+    """Clamped micro term-frequency: greatest(1, least(1e6-1,
+    (1e6 * n_v) div N)) — exact int64 arithmetic in both engines."""
+    return F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(MICRO - 1),
+            F.expr(f"(cast({MICRO} as bigint) * n_v) div {int(n_records)}"),
+        ),
+    )
+
+
+def fs_tf_match_scores(
+    features: DataFrame,
+    records: DataFrame,
+    params: dict[str, int] | None = None,
+    n_steps: int = FS_STEPS,
+) -> DataFrame:
+    """(a_key, b_key, g_exact, g_jacc, g_lev, n_v, posterior_micro,
+    posterior_tf_micro, fs_match_tf): FS posterior with and without the
+    term-frequency adjustment on the exact-agreement level. n_v is the
+    corpus frequency of the pair's left normalized text (the shared value
+    whenever g_exact = 1 — the only rows whose posterior it affects)."""
+    if params is None:
+        params = fit_fs_em_spark(features, n_steps)
+    n_records = records.count()
+    vf = records.groupBy("norm_text").agg(F.count("*").alias("n_v"))
+    g1, g2, g3 = gamma_cols()
+    base = features.select(
+        "a_key", "b_key", "a_norm", g1.alias("g_exact"),
+        g2.alias("g_jacc"), g3.alias("g_lev"),
+    ).join(vf, F.col("a_norm") == F.col("norm_text"), "left")
+    lam = params["lam"]
+
+    def _post(u1: Column) -> Column:
+        w = (
+            (F.lit(float(lam)) * _pick("m", 1, F.col("g_exact"), params))
+            * _pick("m", 2, F.col("g_jacc"), params)
+        ) * _pick("m", 3, F.col("g_lev"), params)
+        v = (
+            (F.lit(float(MICRO - lam)) * u1)
+            * _pick("u", 2, F.col("g_jacc"), params)
+        ) * _pick("u", 3, F.col("g_lev"), params)
+        return F.floor((w * F.lit(1_000_000.0)) / (w + v)).cast("long")
+
+    u1_base = _pick("u", 1, F.col("g_exact"), params)
+    u1_tf = F.when(
+        F.col("g_exact") == 1, _tf_u1_micro(n_records)
+    ).otherwise(F.lit(params["u1_0"]))
+    pm_tf = _post(u1_tf)
+    return base.select(
+        "a_key", "b_key", "g_exact", "g_jacc", "g_lev",
+        F.coalesce(F.col("n_v"), F.lit(0)).alias("n_v"),
+        _post(u1_base).alias("posterior_micro"),
+        pm_tf.alias("posterior_tf_micro"),
+        (pm_tf >= F.lit(MICRO // 2)).cast("int").alias("fs_match_tf"),
+    )
+
+
+def fs_tf_match_scores_sql(
+    features_rel: str,
+    records_rel: str,
+    n_steps: int = FS_STEPS,
+    prefix_ctes: str = "",
+) -> str:
+    """DuckDB twin of `fs_tf_match_scores`: EM replay, value-frequency
+    CTE, and the identical pinned posterior expressions with u1 swapped
+    for the clamped micro term frequency on exact-agreement rows."""
+    pre = f"{prefix_ctes}," if prefix_ctes else ""
+    u1_tf = (
+        f"(CASE WHEN g.g_exact = 1 THEN greatest(1, least({MICRO - 1}, "
+        f"(CAST({MICRO} AS BIGINT) * vf.n_v) // n.nr)) ELSE w.u1_0 END)"
+    )
+    u2 = "(CASE g_jacc WHEN 0 THEN w.u2_0 WHEN 1 THEN w.u2_1 ELSE w.u2_2 END)"
+    u3 = "(CASE g_lev WHEN 0 THEN w.u3_0 WHEN 1 THEN w.u3_1 ELSE w.u3_2 END)"
+    m1 = "(CASE g_exact WHEN 0 THEN w.m1_0 ELSE w.m1_1 END)"
+    m2 = "(CASE g_jacc WHEN 0 THEN w.m2_0 WHEN 1 THEN w.m2_1 ELSE w.m2_2 END)"
+    m3 = "(CASE g_lev WHEN 0 THEN w.m3_0 WHEN 1 THEN w.m3_1 ELSE w.m3_2 END)"
+    wtree = f"(((CAST(w.lam AS DOUBLE) * {m1}) * {m2}) * {m3})"
+    vtree_tf = f"(((CAST({MICRO} - w.lam AS DOUBLE) * {u1_tf}) * {u2}) * {u3})"
+    pm_tf = (
+        f"CAST(floor(({wtree} * 1000000.0) / ({wtree} + {vtree_tf})) AS BIGINT)"
+    )
+    return f"""
+    WITH {pre} {_em_ctes(features_rel, n_steps)},
+    fs_vf AS (SELECT norm_text, count(*) AS n_v FROM ({records_rel})
+              GROUP BY norm_text),
+    fs_nr AS (SELECT count(*) AS nr FROM ({records_rel})),
+    fs_g AS (SELECT a_key, b_key, a_norm, {GAMMA_SQL} FROM ({features_rel}))
+    SELECT g.a_key, g.b_key, g.g_exact, g.g_jacc, g.g_lev,
+           coalesce(vf.n_v, 0) AS n_v,
+           {_post_sql('w')} AS posterior_micro,
+           {pm_tf} AS posterior_tf_micro,
+           CAST({pm_tf} >= {MICRO // 2} AS INT) AS fs_match_tf
+    FROM fs_g g
+    LEFT JOIN fs_vf vf ON g.a_norm = vf.norm_text
+    CROSS JOIN fs_w{n_steps} w CROSS JOIN fs_nr n
     """

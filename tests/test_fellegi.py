@@ -97,6 +97,47 @@ def test_fs_plan_shapes(spark):
     assert "Join" not in score_plan
 
 
+def test_fs_tf_adjustment_demotes_common_promotes_rare(spark):
+    """TF adjustment (Splink semantics): among exact-agreeing pairs under
+    identical γ, the pair sharing a COMMON value scores strictly below
+    the pair sharing a RARE value; non-exact pairs are untouched; the
+    adjusted posterior is the pinned tree with u1 = clamped micro tf."""
+    records = spark.createDataFrame(
+        [(f"c{i}", "hello there") for i in range(10)]
+        + [("r0", "zkx 9914 ledger"), ("r1", "zkx 9914 ledger")],
+        "rec_key string, norm_text string",
+    )
+    n = 12
+    feats = spark.createDataFrame(
+        [
+            ("c0", "c1", "hello there", "hello there", 5, 5, 0, 10, 1),
+            ("r0", "r1", "zkx 9914 ledger", "zkx 9914 ledger", 5, 5, 0, 10, 1),
+            ("c2", "r0", "hello there", "zkx 9914 ledger", 0, 10, 10, 10, 0),
+        ],
+        FEATURE_SCHEMA,
+    )
+    params = FS._params_flat(FS.FS_INIT["lam"], FS.FS_INIT["m"], FS.FS_INIT["u"])
+    rows = {
+        r["a_key"]: r
+        for r in FS.fs_tf_match_scores(feats, records, params=params).collect()
+    }
+    common, rare, diff = rows["c0"], rows["r0"], rows["c2"]
+    assert common["n_v"] == 10 and rare["n_v"] == 2
+    assert common["posterior_tf_micro"] < rare["posterior_tf_micro"]
+    # both demoted vs the global-u posterior here (init u1_1 is tiny)
+    assert common["posterior_tf_micro"] < common["posterior_micro"]
+    # non-exact pairs: adjustment is a no-op
+    assert diff["posterior_tf_micro"] == diff["posterior_micro"]
+    # exact replay of the pinned tree with u1 = (1e6 * n_v) div N
+    for r in (common, rare):
+        want = FS._posterior_micro(
+            params["lam"], params["m1_1"], params["m2_2"], params["m3_2"],
+            max(1, min(FS.MICRO - 1, (FS.MICRO * r["n_v"]) // n)),
+            params["u2_2"], params["u3_2"],
+        )
+        assert r["posterior_tf_micro"] == want
+
+
 def _clusters(spark, assign):
     return spark.createDataFrame(
         [(k, v) for k, v in assign.items()], "rec_key string, cluster_id string"

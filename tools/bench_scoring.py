@@ -69,6 +69,18 @@ def ensure_inputs() -> tuple[str, str, str]:
     return t_path, r_path, p_path
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark session needed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
 def main() -> int:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     _, r_path, p_path = ensure_inputs()
@@ -76,8 +88,24 @@ def main() -> int:
     from entity_linking_spark.operators import scoring as S
     from entity_linking_spark.session import get_spark
 
+    # constant DATA-sized partitioning across parallelism levels (≈250k
+    # pairs per task, rounded to a multiple of 8 so both protocol levels
+    # run full waves): Arrow-batch amortization depends on partition
+    # size, so per-core partition counts would hand the low-parallelism
+    # run bigger batches and skew the efficiency ratio. A real cluster
+    # sizes shuffle partitions by data, not by one job's core count.
+    # The count is applied AS the join's shuffle partitioning (AQE
+    # coalescing off) rather than a repartition() after it: the extra
+    # exchange re-streams every wide feature row through memory once
+    # more, and on a bandwidth-saturated host that extra pass costs the
+    # 8-core level ~28% of its wall (measured 53.2s → 38.2s).
+    n_pairs_meta = _parquet_rows(p_path)
+    n_parts = max(8, -(-((n_pairs_meta + 249_999) // 250_000) // 8) * 8)
     spark = get_spark(
-        f"els-scoring-{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+        f"els-scoring-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=n_parts,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
     )
     records = spark.read.parquet(r_path)
     prs = spark.read.parquet(p_path)
@@ -86,14 +114,8 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    # constant partition SIZE across parallelism levels (≈250k pairs per
-    # task): Arrow-batch amortization depends on partition size, so
-    # per-core partition counts would hand the low-parallelism run bigger
-    # batches and skew the efficiency ratio. A real cluster fixes task
-    # granularity and scales executor count — this mirrors that.
-    n_parts = max(2 * cpus, (n_pairs + 249_999) // 250_000)
     t0 = time.time()
-    feats = S.pair_features(prs, records).repartition(n_parts)
+    feats = S.pair_features(prs, records)
     scored = S.scored_pairs(feats, with_jw=True)
     # aggregate over every scored column — without this Catalyst prunes
     # the jw/score columns and the pandas UDF never executes
