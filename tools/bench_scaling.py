@@ -57,13 +57,18 @@ def main() -> int:
     from entity_linking_spark.plans.pipeline import LinkingConfig, build_blocks
     from entity_linking_spark.session import get_spark
 
+    # constant DATA-sized shuffle partitioning across parallelism levels
+    # (the bench_scoring.py protocol): per-core partition counts hand the
+    # low-parallelism level bigger Arrow batches / fewer exchanges and
+    # skew the efficiency ratio. 32 partitions ≈ 250k pairs/task at the
+    # default 160k-conv corpus — a full wave at the 8-core level, four
+    # waves at 2 cores. AQE's 16MB advisory keeps the OTHER stages'
+    # runtime partitioning data-driven (identical at both levels).
+    n_shuffle = int(os.environ.get("ELS_SCALING_PARTS", "32"))
     spark = get_spark(
         f"els-scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
-        # AQE's default 64MB advisory size coalesces CPU-heavy stages into
-        # too few partitions to keep all python workers busy; 16MB keeps
-        # partition count ≈ cores at this data size without tiny-task spam.
+        shuffle_partitions=n_shuffle,
         extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB"},
     )
     path = ensure_input(spark)
@@ -96,19 +101,21 @@ def main() -> int:
             P.cap_blocks(build_blocks(records, cfg), cfg.block_cap).localCheckpoint()
         ).localCheckpoint(),
     )
-    # CPU-sized partitions for the Arrow-UDF scoring stage: the pandas UDF
-    # is compute-bound per row, so partition count must track cores, not
-    # shuffle-block size (the 100TB deployment does the same repartition
-    # before every Python-heavy stage).
     scored = timed(
         "score_pairs_jw",
-        # project to the narrow output BEFORE materializing: the scored
+        # the feature join's own shuffle partitioning (constant,
+        # data-sized n_shuffle) feeds the Arrow-UDF scorer directly — a
+        # trailing repartition() would re-stream every wide feature row
+        # through one more exchange (measured ~28% of the 8-core wall in
+        # the scoring-stage harness) and would hand the two levels
+        # different Arrow batch sizes.
+        # Project to the narrow output BEFORE materializing: the scored
         # set must not carry both norm texts through the checkpoint —
         # at 100 TB that is the difference between writing ~30 bytes/pair
         # and ~300 (the same early-projection rule Catalyst applies to
         # scans, applied at a materialization boundary it can't see past)
         lambda: S.scored_pairs(
-            S.pair_features(prs, records).repartition(4 * cpus),
+            S.pair_features(prs, records),
             with_jw=True,
         )
         .select("a_key", "b_key", "score", "jw", "is_match")
