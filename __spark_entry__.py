@@ -531,6 +531,34 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EVAL.blocking_quality(_pairs(spark, sf_dir), _clusters(spark, sf_dir))
 
 
+def q_blocking_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family blocking audit: the four classic blocking families
+    (first-token / token / phonetic key-equality, MinHash-LSH) plus
+    sorted-neighborhood, each generating its own candidate pairs, scored
+    side-by-side for pairs-completeness and reduction ratio against the
+    flagship clustering — the one-table answer to 'which blocking scheme
+    buys how much recall for how many pairs'."""
+    records = _records(spark, sf_dir)
+    cap = CFG.block_cap
+    sigs = B.minhash_signatures(
+        records, CFG.n_perm, CFG.shingle, CFG.seed, CFG.hash_mode
+    )
+    fams = {
+        "first_token": P.block_pairs(B.first_token_blocks(records), cap),
+        "token": P.block_pairs(B.token_blocks(records), cap),
+        "phonetic": P.block_pairs(B.phonetic_blocks(records), cap),
+        "lsh": P.block_pairs(
+            B.lsh_blocks(sigs, CFG.n_perm, CFG.band_rows), cap
+        ),
+        "snm": SNM.snm_pairs(records),
+    }
+    labeled = None
+    for fam, df in fams.items():
+        part = df.select(F.lit(fam).alias("family"), "a_key", "b_key")
+        labeled = part if labeled is None else labeled.unionByName(part)
+    return EVAL.blocking_family_quality(labeled, _clusters(spark, sf_dir))
+
+
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 parity: sorted-deduped member collect per cluster — the
     reference reducer's TreeSet-of-inlinks index
@@ -1677,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjusted_rand": q_adjusted_rand,
         "bcubed": q_bcubed,
         "blocking_quality": q_blocking_quality,
+        "blocking_family_recall": q_blocking_family_recall,
         "snm_pairs": q_snm_pairs,
         "meta_block_weights": q_meta_block_weights,
         "meta_blocking": q_meta_blocking,
@@ -1862,6 +1891,25 @@ def oracle_sql() -> dict[str, str]:
             f"WITH cl AS MATERIALIZED ({ORACLE.clusters_oracle_sql(CFG)}), "
             f"cp AS MATERIALIZED ({ORACLE.stage_sql('SELECT a_key, b_key FROM pairs', CFG)}) "
             + EVAL.blocking_quality_sql("SELECT * FROM cp", "SELECT * FROM cl")
+        ),
+        "blocking_family_recall": (
+            f"WITH bfr_recs AS MATERIALIZED ({recs}), "
+            f"bfr_cl AS MATERIALIZED ({ORACLE.clusters_oracle_sql(CFG)}), "
+            f"bfr_labeled AS MATERIALIZED ("
+            f"SELECT 'first_token' AS family, a_key, b_key FROM "
+            f"({P.block_pairs_sql(B.first_token_blocks_sql('SELECT * FROM bfr_recs'), CFG.block_cap)}) "
+            f"UNION ALL SELECT 'token' AS family, a_key, b_key FROM "
+            f"({P.block_pairs_sql(B.token_blocks_sql('SELECT * FROM bfr_recs'), CFG.block_cap)}) "
+            f"UNION ALL SELECT 'phonetic' AS family, a_key, b_key FROM "
+            f"({P.block_pairs_sql(B.phonetic_blocks_sql('SELECT * FROM bfr_recs'), CFG.block_cap)}) "
+            f"UNION ALL SELECT 'lsh' AS family, a_key, b_key FROM "
+            f"({P.block_pairs_sql(B.lsh_blocks_sql(B.minhash_signatures_sql('SELECT * FROM bfr_recs', CFG.n_perm, CFG.shingle, CFG.seed), CFG.n_perm, CFG.band_rows), CFG.block_cap)}) "
+            f"UNION ALL SELECT 'snm' AS family, a_key, b_key FROM "
+            f"({SNM.snm_pairs_sql('SELECT * FROM bfr_recs')})"
+            f") "
+            + EVAL.blocking_family_quality_sql(
+                "SELECT * FROM bfr_labeled", "SELECT * FROM bfr_cl"
+            )
         ),
         "fs_em_params": FS.fs_em_params_sql(
             "SELECT * FROM features", prefix_ctes=ORACLE.pipeline_ctes(CFG)

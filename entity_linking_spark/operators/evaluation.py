@@ -384,6 +384,97 @@ def blocking_quality(candidate_pairs: DataFrame, clusters: DataFrame) -> DataFra
     )
 
 
+def blocking_family_quality(
+    labeled_pairs: DataFrame, clusters: DataFrame
+) -> DataFrame:
+    """Per-FAMILY blocking audit: `blocking_quality` grouped by a
+    `family` label column on the pair set — one row per blocking scheme
+    with the same completeness / reduction-ratio metrics, so the
+    families (key-equality, LSH, phonetic, sorted-neighborhood, …) are
+    directly comparable on one table: which scheme buys how much recall
+    for how many candidate pairs. Shape: the candidate side crosses one
+    partial-agg'd groupBy(family); the 1-row cluster totals broadcast
+    back; nothing per-cluster is enumerated (Σ C(size,2) by groupBy,
+    same as the ungrouped audit)."""
+    ca = clusters.select(
+        F.col("rec_key").alias("a_key"), F.col("cluster_id").alias("a_cl")
+    )
+    cb = clusters.select(
+        F.col("rec_key").alias("b_key"), F.col("cluster_id").alias("b_cl")
+    )
+    hits = (
+        labeled_pairs.join(ca, "a_key")
+        .join(cb, "b_key")
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("n_candidate_pairs"),
+            F.sum((F.col("a_cl") == F.col("b_cl")).cast("long")).alias(
+                "n_intra_candidates"
+            ),
+        )
+    )
+    c2 = lambda c: F.shiftright((c * (c - 1)).cast("long"), 1)  # noqa: E731
+    tot = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(c2(F.col("n"))).alias("n_intra_total"),
+            F.sum("n").alias("n_records"),
+        )
+    )
+    out = hits.crossJoin(F.broadcast(tot))
+    comp = F.floor(
+        (F.lit(1_000_000.0) * F.col("n_intra_candidates"))
+        / F.greatest(F.col("n_intra_total"), F.lit(1)).cast("double")
+    ).cast("long")
+    c2n = (
+        F.col("n_records").cast("double") * (F.col("n_records") - F.lit(1))
+    ) / F.lit(2.0)
+    frac = F.col("n_candidate_pairs").cast("double") / F.greatest(
+        c2n, F.lit(1.0)
+    )
+    red = F.floor(F.lit(1_000_000.0) * (F.lit(1.0) - frac)).cast("long")
+    return out.select(
+        "family",
+        "n_records",
+        "n_candidate_pairs",
+        "n_intra_candidates",
+        "n_intra_total",
+        comp.alias("pairs_completeness_micro"),
+        red.alias("reduction_ratio_micro"),
+    )
+
+
+def blocking_family_quality_sql(
+    labeled_pairs_rel: str, clusters_rel: str
+) -> str:
+    return f"""
+    SELECT h.family, t.n_records, h.n_candidate_pairs, h.n_intra_candidates,
+           t.n_intra_total,
+           CAST(floor((1000000.0 * h.n_intra_candidates)
+                      / CAST(greatest(t.n_intra_total, 1) AS DOUBLE)) AS BIGINT)
+             AS pairs_completeness_micro,
+           CAST(floor(1000000.0 * (1.0 - (CAST(h.n_candidate_pairs AS DOUBLE)
+                / greatest((CAST(t.n_records AS DOUBLE) * (t.n_records - 1)) / 2.0,
+                           1.0)))) AS BIGINT)
+             AS reduction_ratio_micro
+    FROM (
+      SELECT p.family, count(*) AS n_candidate_pairs,
+             coalesce(CAST(sum(CAST(ca.cluster_id = cb.cluster_id AS BIGINT)) AS BIGINT), 0)
+               AS n_intra_candidates
+      FROM ({labeled_pairs_rel}) p
+      JOIN ({clusters_rel}) ca ON p.a_key = ca.rec_key
+      JOIN ({clusters_rel}) cb ON p.b_key = cb.rec_key
+      GROUP BY p.family
+    ) h
+    CROSS JOIN (
+      SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_intra_total,
+             CAST(sum(n) AS BIGINT) AS n_records
+      FROM (SELECT count(*) AS n FROM ({clusters_rel}) GROUP BY cluster_id)
+    ) t
+    """
+
+
 def blocking_quality_sql(pairs_rel: str, clusters_rel: str) -> str:
     return f"""
     SELECT t.n_records, h.n_candidate_pairs, h.n_intra_candidates,

@@ -196,3 +196,33 @@ def test_blocking_quality_known(spark):
     assert r["pairs_completeness_micro"] == 750_000
     # reduction ratio = 1 - 4/C(5,2) = 1 - 0.4 = 0.6
     assert r["reduction_ratio_micro"] == 600_000
+
+
+def test_blocking_family_quality_grouped_known(spark):
+    """The grouped audit reproduces the ungrouped metrics per family and
+    keeps families independent (a family absent from the join output
+    simply has no row)."""
+    clusters = _clusters(
+        spark, {"r1": "x", "r2": "x", "r3": "x", "r4": "y", "r5": "y"}
+    )
+    labeled = spark.createDataFrame(
+        # family A == the ungrouped known-answer case above; family B
+        # enumerates one intra pair only
+        [("A", "r1", "r2"), ("A", "r2", "r3"), ("A", "r4", "r5"),
+         ("A", "r1", "r4"), ("B", "r4", "r5")],
+        "family string, a_key string, b_key string",
+    )
+    rows = {
+        r["family"]: r
+        for r in EVAL.blocking_family_quality(labeled, clusters).collect()
+    }
+    assert set(rows) == {"A", "B"}
+    a, b = rows["A"], rows["B"]
+    assert (a["n_candidate_pairs"], a["n_intra_candidates"]) == (4, 3)
+    assert a["pairs_completeness_micro"] == 750_000
+    assert a["reduction_ratio_micro"] == 600_000
+    assert (b["n_candidate_pairs"], b["n_intra_candidates"]) == (1, 1)
+    assert b["pairs_completeness_micro"] == 250_000
+    # 1 - 1/10 = 0.9
+    assert b["reduction_ratio_micro"] == 900_000
+    assert a["n_intra_total"] == b["n_intra_total"] == 4
