@@ -26,6 +26,7 @@ from entity_linking_spark.operators import beliefprop as BP
 from entity_linking_spark.operators import blocking as B
 from entity_linking_spark.operators import calibration as CAL
 from entity_linking_spark.operators import clustering as C
+from entity_linking_spark.operators import corrclust as KC
 from entity_linking_spark.operators import incremental as INC
 from entity_linking_spark.operators import asof as ASOF
 from entity_linking_spark.operators import conversations as CONV
@@ -198,6 +199,67 @@ def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-spine prefix sum (no global-order window); pairing via a
     balanced chunk equi-join (no range join) — operators/snm.py."""
     return SNM.snm_pairs(_records(spark, sf_dir))
+
+
+def q_suffix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix blocking (Aizawa & Oyama 2005): the first-token blocking
+    key expanded to every suffix of length ≥ 4, co-blocking keys that
+    differ by a leading typo/truncation. Fifth key-generation family
+    next to first-token, token, phonetic, and LSH; hot suffixes die at
+    the block cap (Aizawa's maxBlockSize)."""
+    return B.suffix_blocks(_records(spark, sf_dir))
+
+
+def q_turn_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate turns (CCNet/RefinedWeb line-dedup
+    at turn grain): normalized texts appearing in ≥ 3 distinct
+    conversations, with conversation and occurrence counts. One
+    partial-agg'd groupBy — hot boilerplate is the cheap case."""
+    return CONV.boilerplate_turns(_records(spark, sf_dir))
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record stream with boilerplate turns removed (every occurrence
+    dropped, the RefinedWeb rule) — blocking over this stream stops
+    canned greetings/templates from flooding blocks with
+    cross-conversation pseudo-matches. Anti-join against the small
+    boilerplate set; the corpus crosses no shuffle."""
+    return CONV.strip_boilerplate_turns(_records(spark, sf_dir))
+
+
+def q_corr_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation clustering of the match-edge graph via deterministic
+    parallel pivot (KwikCluster, Ailon 2008; MapReduce rounds per
+    Chierichetti 2014) — the principled alternative to transitive
+    closure: a 3-approx minimum-disagreement clustering that refuses the
+    chain-merge failure mode (one spurious edge gluing two entities).
+    The md5-derived permutation makes the pivot choice bit-reproducible;
+    the oracle unrolls the same rounds as CTEs
+    (operators/corrclust.py)."""
+    return KC.pivot_clusters_with_singletons(
+        _records(spark, sf_dir), _edges(spark, sf_dir)
+    )
+
+
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion audit over the flagship clustering: edge
+    density, weakest-glue-edge Jaccard, and a bridge-risk flag (cluster
+    is a tree ⇒ every edge is a cut edge) — the review-queue table that
+    catches transitive closure's over-merges. No per-cluster
+    enumeration; one groupBy over intra-cluster match edges
+    (operators/clustering.py)."""
+    return C.cluster_cohesion(
+        _clusters(spark, sf_dir),
+        _features(spark, sf_dir).filter(S.match_condition()),
+    )
+
+
+def q_progressive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive / pay-as-you-go ER (Whang 2013): the top-2000
+    candidate comparisons by meta-blocking evidence, the order a
+    budget-bounded scorer should spend in. TakeOrderedAndProject —
+    O(budget) per task, no global sort."""
+    return MB.progressive_pairs(q_meta_block_weights(spark, sf_dir))
 
 
 def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +609,7 @@ def q_blocking_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_token": P.block_pairs(B.first_token_blocks(records), cap),
         "token": P.block_pairs(B.token_blocks(records), cap),
         "phonetic": P.block_pairs(B.phonetic_blocks(records), cap),
+        "suffix": P.block_pairs(B.suffix_blocks(records), cap),
         "lsh": P.block_pairs(
             B.lsh_blocks(sigs, CFG.n_perm, CFG.band_rows), cap
         ),
@@ -1725,6 +1788,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18,
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q10_returned_items": q_tpch_q10,
+        # NEW in round 4 (late): suffix blocking, boilerplate-turn
+        # stripping, KwikCluster, cohesion audit, progressive budget —
+        # queued for the round-5 gate window with the rest of the tail:
+        "blocks_suffix": q_suffix_blocks,
+        "turn_boilerplate": q_turn_boilerplate,
+        "strip_boilerplate_turns": q_strip_boilerplate,
+        "corr_clusters": q_corr_clusters,
+        "cluster_cohesion": q_cluster_cohesion,
+        "progressive_pairs": q_progressive_pairs,
     }
 
 
@@ -1902,6 +1974,8 @@ def oracle_sql() -> dict[str, str]:
             f"({P.block_pairs_sql(B.token_blocks_sql('SELECT * FROM bfr_recs'), CFG.block_cap)}) "
             f"UNION ALL SELECT 'phonetic' AS family, a_key, b_key FROM "
             f"({P.block_pairs_sql(B.phonetic_blocks_sql('SELECT * FROM bfr_recs'), CFG.block_cap)}) "
+            f"UNION ALL SELECT 'suffix' AS family, a_key, b_key FROM "
+            f"({P.block_pairs_sql(B.suffix_blocks_sql('SELECT * FROM bfr_recs'), CFG.block_cap)}) "
             f"UNION ALL SELECT 'lsh' AS family, a_key, b_key FROM "
             f"({P.block_pairs_sql(B.lsh_blocks_sql(B.minhash_signatures_sql('SELECT * FROM bfr_recs', CFG.n_perm, CFG.shingle, CFG.seed), CFG.n_perm, CFG.band_rows), CFG.block_cap)}) "
             f"UNION ALL SELECT 'snm' AS family, a_key, b_key FROM "
@@ -2160,6 +2234,7 @@ def _pagerank_oracle() -> str:
 
 
 def _training_data_oracles() -> dict[str, str]:
+    tsql = derive_transcripts_sql("documents")
     drecs = D.doc_records_sql(_DOCS_REL)
     recs = "SELECT * FROM drecs"
     with_recs = f"WITH drecs AS ({drecs})"
@@ -2336,5 +2411,32 @@ def _training_data_oracles() -> dict[str, str]:
             "SELECT * FROM supplier",
             "SELECT * FROM orders",
             "SELECT * FROM lineitem",
+        ),
+        "blocks_suffix": B.suffix_blocks_sql(B.prepare_records_sql(tsql)),
+        "turn_boilerplate": CONV.boilerplate_turns_sql(B.prepare_records_sql(tsql)),
+        "strip_boilerplate_turns": CONV.strip_boilerplate_turns_sql(
+            B.prepare_records_sql(tsql)
+        ),
+        "corr_clusters": KC.pivot_clusters_sql(
+            "SELECT * FROM records",
+            "SELECT * FROM edges",
+            prefix_ctes=ORACLE.pipeline_ctes(CFG),
+        ),
+        "cluster_cohesion": C.cluster_cohesion_sql(
+            "SELECT * FROM ch_cl",
+            "SELECT * FROM ch_me",
+            prefix_ctes=(
+                f"{ORACLE.pipeline_ctes(CFG)}, ch_cl AS MATERIALIZED "
+                f"({C.clusters_sql('SELECT * FROM records', 'SELECT * FROM edges')}), "
+                f"ch_me AS MATERIALIZED "
+                f"(SELECT * FROM features WHERE {S.MATCH_CONDITION_SQL})"
+            ),
+        ),
+        "progressive_pairs": MB.progressive_pairs_sql(
+            "SELECT * FROM capped",
+            prefix_ctes=(
+                f"{ORACLE.pipeline_ctes(CFG)}, capped AS MATERIALIZED "
+                f"({P.cap_blocks_sql('SELECT * FROM blocks', CFG.block_cap)})"
+            ),
         ),
     }

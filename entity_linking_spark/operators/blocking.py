@@ -155,6 +155,47 @@ def phonetic_blocks_sql(
     """
 
 
+MIN_SUFFIX_LEN = 4
+
+
+def suffix_blocks(records: DataFrame, min_suffix: int = MIN_SUFFIX_LEN) -> DataFrame:
+    """(rec_key, block_key) — *suffix blocking* (Aizawa & Oyama 2005,
+    "A fast linkage detection scheme for multi-source information
+    integration"): the blocking key value (here the record's first
+    token, the same BKV `first_token_blocks` uses) is expanded to every
+    suffix of length ≥ `min_suffix`, so records whose keys differ only
+    by a leading typo / truncation ("jonathan"/"onathan") still
+    co-block. Keys shorter than `min_suffix` emit themselves whole. The
+    classic companion knob — Aizawa's maxBlockSize — is exactly this
+    engine's `pairs.cap_blocks`, so ubiquitous suffixes ("-tion") die
+    at the cap like stop-word token blocks.
+
+    Shape: a narrow per-record expression explode (≤ len−min_suffix+1
+    keys per record, suffixes of one token are pairwise distinct so no
+    dedup shuffle); the fifth key-generation family next to first-token,
+    token, phonetic, and LSH."""
+    tok = F.element_at("tokens", 1)
+    n_suf = F.greatest(F.length(tok) - F.lit(min_suffix - 1), F.lit(1))
+    sufs = F.transform(
+        F.sequence(F.lit(1), n_suf),
+        lambda i: F.concat(F.lit("sx:"), tok.substr(i, F.length(tok))),
+    )
+    return records.filter(F.size("tokens") > 0).select(
+        "rec_key", F.explode(sufs).alias("block_key")
+    )
+
+
+def suffix_blocks_sql(records_rel: str, min_suffix: int = MIN_SUFFIX_LEN) -> str:
+    return f"""
+    SELECT rec_key, 'sx:' || substr(tok, i) AS block_key
+    FROM (
+      SELECT rec_key, tokens[1] AS tok FROM ({records_rel})
+      WHERE len(tokens) > 0
+    ),
+    unnest(range(1, greatest(length(tok) - {min_suffix - 1}, 1) + 1)) AS t(i)
+    """
+
+
 def minhash_signatures(
     records: DataFrame,
     n_perm: int = DEFAULT_N_PERM,

@@ -179,6 +179,100 @@ def golden_records(records: DataFrame, clusters: DataFrame) -> DataFrame:
     return stats.join(canon, "cluster_id")
 
 
+def cluster_cohesion(clusters: DataFrame, features: DataFrame) -> DataFrame:
+    """(cluster_id, n_members, n_edges, density_micro, min_jacc_micro,
+    mean_jacc_micro, bridge_risk) for every non-singleton cluster — the
+    post-clustering QUALITY AUDIT transitive closure demands: closure
+    happily glues two real entities through one spurious edge, and this
+    table is where that shows. `density_micro` = ⌊1e6·2E/(n(n−1))⌋;
+    `min_jacc_micro` is the weakest glue edge's token-Jaccard;
+    `bridge_risk` = 1 when the cluster is a TREE (E = n−1): every edge
+    is a cut edge, so one bad judgment split-brains the entity. Review
+    queues sort by (bridge_risk DESC, min_jacc_micro ASC).
+
+    Inputs: cluster assignment + the *match-edge* feature rows
+    (pair_features filtered by the match rule — the edges closure used).
+    All-integer micro quantization, engine-portable.
+
+    Scale shape: two rec_key equi-joins tag each edge with its endpoint
+    clusters, then ONE partial-agg'd groupBy(cluster_id); member counts
+    are a second groupBy on the assignment table. Nothing per-cluster is
+    enumerated — a hot cluster costs its own edge count, never n²."""
+    ca = clusters.select(
+        F.col("rec_key").alias("a_key"), F.col("cluster_id").alias("a_cl")
+    )
+    cb = clusters.select(
+        F.col("rec_key").alias("b_key"), F.col("cluster_id").alias("b_cl")
+    )
+    jacc = F.floor(
+        (F.lit(1_000_000.0) * F.col("inter"))
+        / F.greatest(F.col("uni"), F.lit(1)).cast("double")
+    ).cast("long")
+    intra = (
+        features.join(ca, "a_key")
+        .join(cb, "b_key")
+        .filter(F.col("a_cl") == F.col("b_cl"))
+        .select(F.col("a_cl").alias("cluster_id"), jacc.alias("jm"))
+    )
+    est = intra.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("jm").alias("min_jacc_micro"),
+        F.expr("sum(jm) div count(*)").alias("mean_jacc_micro"),
+    )
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    dens = F.floor(
+        (F.lit(1_000_000.0) * 2 * F.col("n_edges"))
+        / (F.col("n_members").cast("double") * (F.col("n_members") - F.lit(1)))
+    ).cast("long")
+    return sizes.join(est, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_edges",
+        dens.alias("density_micro"),
+        "min_jacc_micro",
+        "mean_jacc_micro",
+        (F.col("n_edges") == F.col("n_members") - 1).cast("int").alias("bridge_risk"),
+    )
+
+
+def cluster_cohesion_sql(
+    clusters_rel: str, features_rel: str, prefix_ctes: str = ""
+) -> str:
+    pre = f"{prefix_ctes}," if prefix_ctes else ""
+    return f"""
+    WITH {pre} ch_intra AS (
+      SELECT ca.cluster_id,
+             CAST(floor((1000000.0 * f.inter)
+                  / CAST(greatest(f.uni, 1) AS DOUBLE)) AS BIGINT) AS jm
+      FROM ({features_rel}) f
+      JOIN ({clusters_rel}) ca ON f.a_key = ca.rec_key
+      JOIN ({clusters_rel}) cb ON f.b_key = cb.rec_key
+      WHERE ca.cluster_id = cb.cluster_id
+    ),
+    ch_est AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+             min(jm) AS min_jacc_micro,
+             CAST(sum(jm) // count(*) AS BIGINT) AS mean_jacc_micro
+      FROM ch_intra GROUP BY cluster_id
+    ),
+    ch_sz AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM ({clusters_rel}) GROUP BY cluster_id HAVING count(*) >= 2
+    )
+    SELECT s.cluster_id, s.n_members, e.n_edges,
+           CAST(floor((1000000.0 * 2 * e.n_edges)
+                / (CAST(s.n_members AS DOUBLE) * (s.n_members - 1))) AS BIGINT)
+             AS density_micro,
+           e.min_jacc_micro, e.mean_jacc_micro,
+           CAST(e.n_edges = s.n_members - 1 AS INTEGER) AS bridge_risk
+    FROM ch_sz s JOIN ch_est e USING (cluster_id)
+    """
+
+
 def golden_records_sql(records_rel: str, clusters_rel: str) -> str:
     return f"""
     WITH gr_j AS (

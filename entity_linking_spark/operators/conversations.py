@@ -173,3 +173,74 @@ def degenerate_conversations_sql(
           FROM ({transcripts_rel}) GROUP BY conv_id)
     WHERE n_turns < {min_turns} OR n_turns > {max_turns}
     """
+
+
+BOILERPLATE_MIN_CONVS = 3
+
+
+def boilerplate_turns(
+    records: DataFrame, min_convs: int = BOILERPLATE_MIN_CONVS
+) -> DataFrame:
+    """(norm_text, n_convs, n_turns): normalized turn texts appearing in
+    ≥ `min_convs` DISTINCT conversations — transcript boilerplate: canned
+    greetings, templated tool banners, retry prompts. The transcripts
+    analog of CCNet/RefinedWeb line-level dedup (Wenzek et al. 2020;
+    Penedo et al. 2023 drop lines duplicated across documents); at turn
+    grain because a transcript's "line" is its turn.
+
+    Scale shape: ONE groupBy(norm_text) with map-side partial agg — a
+    ubiquitous greeting collapses to one row per map partition before the
+    shuffle, so hot boilerplate is exactly the cheap case. At 100 TB the
+    group key would be xxhash64(norm_text) with a min(norm_text) sample
+    (8-byte shuffle key); the text key keeps the oracle byte-comparable."""
+    return (
+        records.groupBy("norm_text")
+        .agg(
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def boilerplate_turns_sql(
+    records_rel: str, min_convs: int = BOILERPLATE_MIN_CONVS
+) -> str:
+    return f"""
+    SELECT norm_text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM ({records_rel})
+    GROUP BY norm_text HAVING count(DISTINCT conv_id) >= {min_convs}
+    """
+
+
+def strip_boilerplate_turns(
+    records: DataFrame, min_convs: int = BOILERPLATE_MIN_CONVS
+) -> DataFrame:
+    """(rec_key, conv_id, turn_idx, norm_text): the record stream with
+    boilerplate turns REMOVED — every occurrence is dropped (the
+    RefinedWeb rule: a line repeated across documents is template, not
+    content; keeping one copy would still train on it). Downstream
+    blocking over the stripped stream stops boilerplate from flooding
+    blocks with cross-conversation pseudo-matches.
+
+    Scale shape: the boilerplate set (distinct texts in ≥ min_convs
+    convs) is tiny next to the corpus, so the left_anti join broadcasts
+    under AQE; the corpus itself crosses no shuffle."""
+    boiler = boilerplate_turns(records, min_convs).select("norm_text")
+    return records.join(boiler, "norm_text", "left_anti").select(
+        "rec_key", "conv_id", "turn_idx", "norm_text"
+    )
+
+
+def strip_boilerplate_turns_sql(
+    records_rel: str, min_convs: int = BOILERPLATE_MIN_CONVS
+) -> str:
+    return f"""
+    SELECT rec_key, conv_id, turn_idx, norm_text
+    FROM ({records_rel}) r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({boilerplate_turns_sql(records_rel, min_convs)}) b
+      WHERE b.norm_text = r.norm_text
+    )
+    """

@@ -1,0 +1,186 @@
+"""Correlation clustering via deterministic parallel pivot (KwikCluster).
+
+Transitive closure (`clustering.connected_components`) merges everything a
+chain of match edges reaches — one spurious edge glues two entities
+forever, the classic ER over-merge failure. Correlation clustering
+instead minimizes disagreements with the pairwise judgments: KwikCluster
+(Ailon, Charikar, Newman 2008, "Aggregating inconsistent information")
+picks a random pivot, clusters it with its positive neighbors, removes
+them, and repeats — a 3-approximation to the minimum-disagreement
+clustering. The parallel formulation here is the MapReduce round scheme
+of Chierichetti, Dalvi, Kumar (KDD 2014, "Correlation clustering in
+MapReduce"): in each round, every node that is a *local minimum* of a
+fixed random permutation among its still-active neighbors becomes a
+pivot (pivots form an independent set), every non-pivot adjacent to a
+pivot joins its minimum-permutation pivot neighbor, and all assigned
+nodes leave the graph. O(log n) rounds w.h.p.
+
+The permutation is DETERMINISTIC here — pk(u) = md5(u) || '|' || u — so
+the pivot set, the assignments, and therefore the whole clustering are
+bit-identical between Spark and the unrolled-CTE DuckDB oracle (the
+md5-based seeded-permutation trick every sampled operator in this engine
+uses). pk values are unique (the '|' || u suffix breaks md5 ties), so
+every min / min_by below is exact, no tie-break ambiguity.
+
+Reference analog: the reference resolves conflicting pairwise evidence
+globally through loopy BP message passing
+(`loopybeliefpropagation/LoopyBeliefPropagation.java`) rather than
+trusting raw pair decisions transitively; KwikCluster is the
+clustering-level counterpart for the match-edge graph.
+
+Scale shape (100 TB): each round is two groupBys and two anti-joins on
+the ACTIVE edge set — partial-agg'd, hash-partitioned by node, no
+windows, no per-cluster enumeration; the edge set shrinks geometrically
+per round (each round kills every pivot's whole neighborhood).
+`localCheckpoint` per round caps lineage exactly like the CC supersteps;
+on a cluster it would be `checkpoint()` to HDFS/Iceberg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ROUNDS = 6
+
+
+def _pk(col: Column) -> Column:
+    return F.concat(F.md5(col), F.lit("|"), col)
+
+
+def _pk_sql(expr: str) -> str:
+    return f"md5({expr}) || '|' || {expr}"
+
+
+def pivot_clusters(
+    edges: DataFrame, rounds: int = DEFAULT_ROUNDS, checkpoint: bool = True
+) -> DataFrame:
+    """edges(a_key, b_key) → (rec_key, cluster_id): deterministic parallel
+    KwikCluster. cluster_id is the pivot's rec_key. Nodes still active
+    after `rounds` rounds become singletons (deterministic in both
+    engines; the fixed round count IS the contract the oracle unrolls).
+    Only nodes appearing in an edge are returned — callers union
+    singletons themselves (`pivot_clusters_with_singletons`)."""
+    e = (
+        edges.select(F.col("a_key").alias("u"), F.col("b_key").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint()
+    assigned = None
+    for _ in range(rounds):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = sym.groupBy("u").agg(F.min(_pk(F.col("v"))).alias("mnv"))
+        pivots = mn.filter(_pk(F.col("u")) < F.col("mnv")).select("u")
+        # a non-pivot adjacent to >=1 pivot joins its min-pk pivot
+        # neighbor; pivots never appear on the u side of this join
+        # (two adjacent local minima are impossible), so no exclusion
+        # filter is needed.
+        joined = (
+            sym.join(pivots.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min_by("v", _pk(F.col("v"))).alias("cluster_id"))
+            .select(F.col("u").alias("rec_key"), "cluster_id")
+        )
+        asg_r = pivots.select(
+            F.col("u").alias("rec_key"), F.col("u").alias("cluster_id")
+        ).union(joined)
+        assigned = asg_r if assigned is None else assigned.union(asg_r)
+        gone = asg_r.select("rec_key")
+        e = e.join(gone, F.col("u") == F.col("rec_key"), "left_anti")
+        e = e.join(gone, F.col("v") == F.col("rec_key"), "left_anti")
+        if checkpoint:
+            # only the shrinking edge set needs a checkpoint: each round's
+            # asg_r derives from the PREVIOUS round's checkpointed edges,
+            # so the accumulated assignment union stays O(rounds) shallow
+            # without its own (eager, one-job-per-round) materialization.
+            e = e.localCheckpoint()
+        if e.limit(1).count() == 0:
+            break  # identical to running the remaining rounds on ∅
+    leftover = (
+        e.select(F.col("u").alias("rec_key"))
+        .union(e.select(F.col("v").alias("rec_key")))
+        .distinct()
+        .select("rec_key", F.col("rec_key").alias("cluster_id"))
+    )
+    return (assigned.union(leftover)) if assigned is not None else leftover
+
+
+def pivot_clusters_with_singletons(
+    records: DataFrame,
+    edges: DataFrame,
+    rounds: int = DEFAULT_ROUNDS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """All records assigned: KwikCluster where edges exist, self for
+    singletons — the drop-in alternative tail to
+    `clustering.clusters_with_singletons`."""
+    cc = pivot_clusters(edges, rounds=rounds, checkpoint=checkpoint)
+    return (
+        records.select("rec_key")
+        .join(cc, "rec_key", "left")
+        .select("rec_key", F.coalesce("cluster_id", "rec_key").alias("cluster_id"))
+    )
+
+
+def pivot_clusters_sql(
+    records_rel: str,
+    edges_rel: str,
+    rounds: int = DEFAULT_ROUNDS,
+    prefix_ctes: str = "",
+) -> str:
+    """DuckDB twin: the same deterministic rounds UNROLLED as materialized
+    CTEs (one sym/pivot/assign/residual block per round — the
+    `bpe._chain_sql` discipline, MATERIALIZED so DuckDB never re-inlines
+    the chain exponentially). `prefix_ctes` prepends the caller's CTE
+    chain defining `records_rel` / `edges_rel` (SQL forbids stacking two
+    WITH clauses)."""
+    pk_u, pk_v = _pk_sql("u"), _pk_sql("v")
+    ctes = [] if not prefix_ctes else [prefix_ctes]
+    ctes += [
+        f"""kc_e0 AS MATERIALIZED (
+          SELECT DISTINCT a_key AS u, b_key AS v FROM ({edges_rel})
+          WHERE a_key <> b_key
+        )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""kc_sym{r} AS (
+              SELECT u, v FROM kc_e{r}
+              UNION ALL SELECT v AS u, u AS v FROM kc_e{r}
+            ),
+            kc_pv{r} AS MATERIALIZED (
+              SELECT u FROM kc_sym{r}
+              GROUP BY u HAVING {pk_u} < min({pk_v})
+            ),
+            kc_as{r} AS MATERIALIZED (
+              SELECT u AS rec_key, u AS cluster_id FROM kc_pv{r}
+              UNION ALL
+              SELECT s.u AS rec_key, arg_min(s.v, {_pk_sql('s.v')}) AS cluster_id
+              FROM kc_sym{r} s JOIN kc_pv{r} p ON s.v = p.u
+              GROUP BY s.u
+            ),
+            kc_e{r + 1} AS MATERIALIZED (
+              SELECT u, v FROM kc_e{r}
+              WHERE u NOT IN (SELECT rec_key FROM kc_as{r})
+                AND v NOT IN (SELECT rec_key FROM kc_as{r})
+            )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT rec_key, cluster_id FROM kc_as{r}" for r in range(rounds)
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    kc_all AS (
+      {unions}
+      UNION ALL
+      SELECT x AS rec_key, x AS cluster_id FROM (
+        SELECT DISTINCT u AS x FROM kc_e{rounds}
+        UNION SELECT DISTINCT v AS x FROM kc_e{rounds}
+      )
+    )
+    SELECT r.rec_key, coalesce(k.cluster_id, r.rec_key) AS cluster_id
+    FROM ({records_rel}) r LEFT JOIN kc_all k USING (rec_key)
+    """

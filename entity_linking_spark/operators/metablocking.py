@@ -161,3 +161,40 @@ def cnp_prune_sql(capped_rel: str, k: int = CNP_K, prefix_ctes: str = "") -> str
       ) AS rk FROM mb_dir
     ) WHERE rk <= {int(k)}
     """
+
+
+PROGRESSIVE_BUDGET = 2000
+
+
+def progressive_pairs(
+    weights: DataFrame, budget: int = PROGRESSIVE_BUDGET
+) -> DataFrame:
+    """The top-`budget` comparisons by meta-blocking evidence — progressive
+    / pay-as-you-go ER (Whang, Marmaros, Garcia-Molina 2013, "Pay-as-you-go
+    entity resolution"; Papenbrock et al. 2015): when the scoring budget
+    can't cover every candidate, spend it on the pairs most likely to
+    match FIRST, so resolution quality per dollar is maximized and the
+    job can stop at any point with the best-available clustering.
+
+    Ordering is (js_micro DESC, cbs DESC, a_key, b_key) — the same
+    integer weights CNP/WEP use, with a total deterministic tie-break.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject — each
+    task keeps a `budget`-sized heap, the driver merges K heaps; no
+    global sort, no single-reducer window. Memory is O(budget) per task,
+    which is exactly the operator's contract."""
+    return weights.orderBy(
+        F.col("js_micro").desc(), F.col("cbs").desc(), "a_key", "b_key"
+    ).limit(budget)
+
+
+def progressive_pairs_sql(
+    capped_rel: str, budget: int = PROGRESSIVE_BUDGET, prefix_ctes: str = ""
+) -> str:
+    pre = f"WITH {prefix_ctes}, " if prefix_ctes else "WITH "
+    return f"""
+    {pre} mb_w AS MATERIALIZED ({pair_block_weights_sql(capped_rel)})
+    SELECT a_key, b_key, cbs, js_micro FROM mb_w
+    ORDER BY js_micro DESC, cbs DESC, a_key, b_key
+    LIMIT {int(budget)}
+    """

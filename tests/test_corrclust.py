@@ -1,0 +1,236 @@
+"""Round-4 late additions — semantic known-answer tests:
+
+* corrclust.pivot_clusters — verified against a pure-Python replay of the
+  deterministic parallel-pivot rounds on a seeded random graph, plus the
+  structural KwikCluster properties (partition validity, pivot membership,
+  star adjacency, chain-split behavior vs transitive closure).
+* clustering.cluster_cohesion — closed-form density / bridge-risk on a
+  planted triangle + chain.
+* blocking.suffix_blocks — exact suffix key sets, short-key fallback.
+* conversations.boilerplate_turns — distinct-conversation (not turn)
+  threshold, strip-all semantics.
+* metablocking.progressive_pairs — budget + ordering + the
+  TakeOrderedAndProject plan shape (no global sort).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from entity_linking_spark.operators import blocking as B
+from entity_linking_spark.operators import clustering as C
+from entity_linking_spark.operators import conversations as CONV
+from entity_linking_spark.operators import corrclust as KC
+from entity_linking_spark.operators import metablocking as MB
+
+
+def _pk(u: str) -> str:
+    return hashlib.md5(u.encode()).hexdigest() + "|" + u
+
+
+def _pivot_reference(edges: set[tuple[str, str]], rounds: int = 6) -> dict[str, str]:
+    """Pure-Python replay of the deterministic parallel pivot rounds —
+    the independent reference implementation the Spark operator must
+    reproduce node-for-node."""
+    e = {(a, b) for a, b in edges if a != b}
+    asg: dict[str, str] = {}
+    for _ in range(rounds):
+        if not e:
+            break
+        nbrs: dict[str, set[str]] = {}
+        for a, b in e:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        pivots = {u for u, ns in nbrs.items() if all(_pk(u) < _pk(v) for v in ns)}
+        for u, ns in nbrs.items():
+            pvs = [v for v in ns if v in pivots]
+            if u in pivots:
+                asg[u] = u
+            elif pvs:
+                asg[u] = min(pvs, key=_pk)
+        e = {(a, b) for a, b in e if a not in asg and b not in asg}
+    for a, b in e:
+        asg.setdefault(a, a)
+        asg.setdefault(b, b)
+    return asg
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        sorted(edges), "a_key string, b_key string"
+    )
+
+
+def test_pivot_clusters_match_python_reference(spark):
+    """Seeded Erdős–Rényi graph, 40 nodes: the Spark operator reproduces
+    the pure-Python deterministic-pivot replay exactly."""
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = {
+        (a, b)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        if rng.random() < 0.08
+    }
+    got = {
+        r["rec_key"]: r["cluster_id"]
+        for r in KC.pivot_clusters(_edges_df(spark, edges)).collect()
+    }
+    assert got == _pivot_reference(edges)
+
+
+def test_pivot_clusters_is_valid_star_partition(spark):
+    """Every node appears exactly once; every cluster id is a member of
+    its own cluster; every non-pivot member is ADJACENT to its pivot
+    (KwikCluster clusters are stars of the positive graph, never
+    chains)."""
+    rng = random.Random(11)
+    nodes = [f"m{i:02d}" for i in range(30)]
+    edges = {
+        (a, b)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        if rng.random() < 0.12
+    }
+    rows = KC.pivot_clusters(_edges_df(spark, edges)).collect()
+    seen = [r["rec_key"] for r in rows]
+    assert len(seen) == len(set(seen))  # exactly-once assignment
+    asg = {r["rec_key"]: r["cluster_id"] for r in rows}
+    adj = edges | {(b, a) for a, b in edges}
+    for u, c in asg.items():
+        assert asg[c] == c  # the pivot itself is in its cluster
+        if u != c:
+            assert (u, c) in adj  # star: member adjacent to pivot
+
+
+def test_pivot_clusters_split_chain_closure_merges(spark):
+    """A 12-node path: transitive closure yields ONE cluster (the
+    over-merge failure mode); KwikCluster splits it into several
+    star-shaped clusters — the operator's reason to exist."""
+    nodes = [f"p{i:02d}" for i in range(12)]
+    edges = {(nodes[i], nodes[i + 1]) for i in range(11)}
+    df = _edges_df(spark, edges)
+    cc = C.connected_components(df)
+    kc = KC.pivot_clusters(df)
+    assert cc.select("cluster_id").distinct().count() == 1
+    n_kc = kc.select("cluster_id").distinct().count()
+    assert n_kc > 1
+    # and it still covers every node exactly once
+    assert kc.count() == 12
+
+
+def test_pivot_clusters_with_singletons_covers_all_records(spark):
+    records = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("z",)], "rec_key string"
+    )
+    out = KC.pivot_clusters_with_singletons(
+        records, _edges_df(spark, {("a", "b")})
+    )
+    asg = {r["rec_key"]: r["cluster_id"] for r in out.collect()}
+    assert set(asg) == {"a", "b", "c", "z"}
+    assert asg["c"] == "c" and asg["z"] == "z"
+    assert asg["a"] == asg["b"]
+
+
+def _features_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "a_key string, b_key string, inter long, uni long"
+    )
+
+
+def test_cluster_cohesion_triangle_vs_chain(spark):
+    """Planted triangle {t1,t2,t3} (3 edges) and chain {c1,c2,c3}
+    (2 edges): density 1e6 vs 666666, bridge_risk 0 vs 1, min/mean
+    jacc from the planted integer features."""
+    clusters = spark.createDataFrame(
+        [("t1", "T"), ("t2", "T"), ("t3", "T"), ("c1", "X"), ("c2", "X"), ("c3", "X")],
+        "rec_key string, cluster_id string",
+    )
+    feats = _features_df(
+        spark,
+        [
+            ("t1", "t2", 1, 2),  # jacc 500000
+            ("t1", "t3", 1, 4),  # jacc 250000
+            ("t2", "t3", 3, 4),  # jacc 750000
+            ("c1", "c2", 1, 1),  # jacc 1000000
+            ("c2", "c3", 1, 2),  # jacc 500000
+        ],
+    )
+    out = {r["cluster_id"]: r for r in C.cluster_cohesion(clusters, feats).collect()}
+    t, x = out["T"], out["X"]
+    assert (t["n_members"], t["n_edges"], t["density_micro"]) == (3, 3, 1_000_000)
+    assert (t["min_jacc_micro"], t["mean_jacc_micro"], t["bridge_risk"]) == (
+        250_000,
+        500_000,
+        0,
+    )
+    assert (x["n_members"], x["n_edges"], x["density_micro"]) == (3, 2, 666_666)
+    assert (x["min_jacc_micro"], x["bridge_risk"]) == (500_000, 1)
+
+
+def test_suffix_blocks_exact_keys(spark):
+    """'jonathan' (len 8, min 4) → 5 suffix keys; a leading-typo variant
+    'onathan' co-blocks on all 4 of its suffixes; short token 'ab' emits
+    itself whole."""
+    recs = spark.createDataFrame(
+        [("r1", ["jonathan"]), ("r2", ["onathan"]), ("r3", ["ab"])],
+        "rec_key string, tokens array<string>",
+    )
+    got = {
+        (r["rec_key"], r["block_key"])
+        for r in B.suffix_blocks(recs).collect()
+    }
+    j = {f"sx:{'jonathan'[i:]}" for i in range(5)}
+    o = {f"sx:{'onathan'[i:]}" for i in range(4)}
+    assert {k for rk, k in got if rk == "r1"} == j
+    assert {k for rk, k in got if rk == "r2"} == o
+    assert {k for rk, k in got if rk == "r3"} == {"sx:ab"}
+    assert j & o == o  # every suffix of the typo'd key co-blocks
+
+
+def _turn_records(spark, rows):
+    return spark.createDataFrame(
+        rows, "rec_key string, conv_id string, turn_idx int, norm_text string"
+    )
+
+
+def test_boilerplate_counts_distinct_conversations_not_turns(spark):
+    """'hi' in 3 convs → boilerplate; 'rare' repeated 5× inside ONE conv
+    → not boilerplate (the threshold is cross-conversation spread)."""
+    rows = [(f"a#{i}", "a", i, "rare") for i in range(5)]
+    rows += [(f"{c}#9", c, 9, "hi") for c in ("a", "b", "c")]
+    rows += [("b#1", "b", 1, "keep me")]
+    recs = _turn_records(spark, rows)
+    boiler = {r["norm_text"]: r for r in CONV.boilerplate_turns(recs).collect()}
+    assert set(boiler) == {"hi"}
+    assert (boiler["hi"]["n_convs"], boiler["hi"]["n_turns"]) == (3, 3)
+    kept = {r["rec_key"] for r in CONV.strip_boilerplate_turns(recs).collect()}
+    # ALL occurrences of boilerplate drop; everything else survives
+    assert kept == {f"a#{i}" for i in range(5)} | {"b#1"}
+
+
+def test_progressive_pairs_budget_order_and_plan(spark):
+    """Top-budget selection honors (js, cbs, keys) order, and the plan is
+    TakeOrderedAndProject — a per-task bounded heap, not a global Sort
+    exchange."""
+    rows = [
+        (f"a{i:03d}", f"b{i:03d}", (i * 7) % 5 + 1, (i * 13) % 1000 + 1)
+        for i in range(500)
+    ]
+    w = spark.createDataFrame(rows, "a_key string, b_key string, cbs long, js_micro long")
+    out = MB.progressive_pairs(w, budget=50)
+    got = [(r["js_micro"], r["cbs"], r["a_key"]) for r in out.collect()]
+    want = sorted(
+        [(r[3], r[2], r[0]) for r in rows], key=lambda t: (-t[0], -t[1], t[2])
+    )[:50]
+    assert sorted(got, key=lambda t: (-t[0], -t[1], t[2])) == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
