@@ -262,6 +262,28 @@ def q_progressive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MB.progressive_pairs(q_meta_block_weights(spark, sf_dir))
 
 
+def q_pair_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan hybrid similarity over the candidate pairs (JW inner
+    measure, both directions + symmetrized mean) — the classic ER scorer
+    for token-reordered / per-token-typo'd records. The token cross
+    product runs inside one Arrow kernel per batch
+    (functions/jaro.py:jaro_winkler_max_batch); only (pair, position,
+    max) rows cross the aggregation shuffle (operators/scoring.py)."""
+    return S.monge_elkan(_pairs(spark, sf_dir), _records(spark, sf_dir))
+
+
+def q_transitivity_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row self-consistency audit of the pairwise decisions: 2-hop
+    match-path pairs split into consistent triangles, scored-non-match
+    conflicts (closure merges against the scorer's judgment — each a
+    KwikCluster disagreement), and never-compared pairs (closure merges
+    sight unseen). The quantitative case for `corr_clusters` vs
+    `entity_clusters` (operators/evaluation.py)."""
+    return EVAL.transitivity_conflicts(
+        _edges(spark, sf_dir), _pairs(spark, sf_dir)
+    )
+
+
 def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end UNSUPERVISED linking: Fellegi–Sunter posterior ≥ 1/2 as
     the match decision (no hand-set weights, no calibration labels),
@@ -1797,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_clusters": q_corr_clusters,
         "cluster_cohesion": q_cluster_cohesion,
         "progressive_pairs": q_progressive_pairs,
+        "pair_monge_elkan": q_pair_monge_elkan,
+        "transitivity_conflicts": q_transitivity_conflicts,
     }
 
 
@@ -2438,5 +2462,16 @@ def _training_data_oracles() -> dict[str, str]:
                 f"{ORACLE.pipeline_ctes(CFG)}, capped AS MATERIALIZED "
                 f"({P.cap_blocks_sql('SELECT * FROM blocks', CFG.block_cap)})"
             ),
+        ),
+        "pair_monge_elkan": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)}, "
+            f"me_p AS MATERIALIZED (SELECT a_key, b_key FROM pairs), "
+            f"me_r AS MATERIALIZED (SELECT rec_key, tokens FROM records) "
+            + S.monge_elkan_sql("SELECT * FROM me_p", "SELECT * FROM me_r")
+        ),
+        "transitivity_conflicts": EVAL.transitivity_conflicts_sql(
+            "SELECT a_key, b_key FROM edges",
+            "SELECT a_key, b_key FROM pairs",
+            prefix_ctes=ORACLE.pipeline_ctes(CFG),
         ),
     }

@@ -216,3 +216,32 @@ def jaro_winkler_py(a: str, b: str) -> float:
             break
         prefix += 1
     return j + prefix * P_WEIGHT * (1.0 - j)
+
+
+def jaro_winkler_max_batch(a_strs, b_lists) -> np.ndarray:
+    """For each row i: max_j jaro_winkler(a_strs[i], b_lists[i][j]) — the
+    one-vs-many kernel the Monge-Elkan scorer needs (operators/
+    scoring.py:monge_elkan). Empty candidate lists yield 0.0.
+
+    Shape: flatten the ragged candidate lists once (np.concatenate over
+    the Arrow-provided per-row arrays — the qualclf segment-kernel
+    discipline), np.repeat the left strings to align, ONE
+    `jaro_winkler_batch` call over the flattened cross product, then a
+    single `np.maximum.reduceat` segment-max — no per-comparison Python."""
+    n = len(b_lists)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    counts = np.fromiter((len(b) for b in b_lists), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    flat_b = np.concatenate(
+        [np.asarray(b, dtype=object) for b in b_lists if len(b)]
+    )
+    flat_a = np.repeat(np.asarray(list(a_strs), dtype=object), counts)
+    sims = jaro_winkler_batch(flat_a.tolist(), flat_b.tolist())
+    nz = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+    out[nz] = np.maximum.reduceat(sims, starts)
+    return out

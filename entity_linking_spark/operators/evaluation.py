@@ -537,3 +537,85 @@ def clustering_agreement_sql(clusters_a_rel: str, clusters_b_rel: str) -> str:
       )
     ) rb
     """
+
+
+def transitivity_conflicts(edges: DataFrame, candidates: DataFrame) -> DataFrame:
+    """One-row audit of how self-consistent the pairwise match decisions
+    are — the number that says whether transitive closure is safe or
+    correlation clustering (operators/corrclust.py) is warranted:
+
+      n_two_hop    distinct pairs (a, c) joined by a 2-edge match path
+                   through some b (the pairs closure will merge),
+      n_closed     ... that are ALSO a direct match edge (consistent
+                   triangle),
+      n_conflict   ... that were scored as a candidate pair and judged
+                   NON-match (the scorer actively disagrees with the
+                   merge closure performs) — each is a KwikCluster
+                   "disagreement",
+      n_unscored   ... never even candidates (blocking placed a and c in
+                   no common block; closure merges them sight unseen).
+
+    Scale shape: the wedge set is one self-join of the symmetric edge
+    list on the midpoint — bounded by Σ deg(b)², which the block cap
+    bounds structurally (max degree ≤ blocks-per-record × cap); then two
+    LEFT joins against edge/candidate pair sets and ONE 1-row aggregate.
+    All counts exact integers."""
+    sym = edges.select(
+        F.col("a_key").alias("m"), F.col("b_key").alias("x")
+    ).union(edges.select(F.col("b_key").alias("m"), F.col("a_key").alias("x")))
+    l, r = sym.alias("l"), sym.alias("r")
+    wedges = (
+        l.join(r, "m")
+        .filter(F.col("l.x") < F.col("r.x"))
+        .select(F.col("l.x").alias("a_key"), F.col("r.x").alias("b_key"))
+        .distinct()
+    )
+    e = edges.select("a_key", "b_key").withColumn("is_edge", F.lit(1))
+    c = candidates.select("a_key", "b_key").withColumn("is_cand", F.lit(1))
+    tagged = wedges.join(e, ["a_key", "b_key"], "left").join(
+        c, ["a_key", "b_key"], "left"
+    )
+    closed = F.coalesce("is_edge", F.lit(0))
+    cand = F.coalesce("is_cand", F.lit(0))
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_two_hop"),
+        F.coalesce(F.sum(closed), F.lit(0)).cast("long").alias("n_closed"),
+        F.coalesce(F.sum((1 - closed) * cand), F.lit(0))
+        .cast("long")
+        .alias("n_conflict"),
+        F.coalesce(F.sum((1 - closed) * (1 - cand)), F.lit(0))
+        .cast("long")
+        .alias("n_unscored"),
+    )
+
+
+def transitivity_conflicts_sql(
+    edges_rel: str, candidates_rel: str, prefix_ctes: str = ""
+) -> str:
+    pre = f"{prefix_ctes}," if prefix_ctes else ""
+    return f"""
+    WITH {pre} tc_sym AS (
+      SELECT a_key AS m, b_key AS x FROM ({edges_rel})
+      UNION ALL SELECT b_key AS m, a_key AS x FROM ({edges_rel})
+    ),
+    tc_wedge AS (
+      SELECT DISTINCT l.x AS a_key, r.x AS b_key
+      FROM tc_sym l JOIN tc_sym r USING (m)
+      WHERE l.x < r.x
+    ),
+    tc_tag AS (
+      SELECT w.a_key, w.b_key,
+             CASE WHEN e.a_key IS NULL THEN 0 ELSE 1 END AS closed,
+             CASE WHEN c.a_key IS NULL THEN 0 ELSE 1 END AS cand
+      FROM tc_wedge w
+      LEFT JOIN ({edges_rel}) e
+        ON w.a_key = e.a_key AND w.b_key = e.b_key
+      LEFT JOIN ({candidates_rel}) c
+        ON w.a_key = c.a_key AND w.b_key = c.b_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_two_hop,
+           CAST(coalesce(sum(closed), 0) AS BIGINT) AS n_closed,
+           CAST(coalesce(sum((1 - closed) * cand), 0) AS BIGINT) AS n_conflict,
+           CAST(coalesce(sum((1 - closed) * (1 - cand)), 0) AS BIGINT) AS n_unscored
+    FROM tc_tag
+    """

@@ -407,3 +407,127 @@ def pair_embedding_cosine_sql(
     JOIN ({embs}) ea ON p.a_key = ea.rec_key
     JOIN ({embs}) eb ON p.b_key = eb.rec_key
     """
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_max_udf(a: pd.Series, bs: pd.Series) -> pd.Series:
+    # one flattened jaro_winkler_batch + np.maximum.reduceat segment-max
+    # per Arrow batch (functions/jaro.py:jaro_winkler_max_batch) — no
+    # per-comparison Python.
+    from ..functions.jaro import jaro_winkler_max_batch
+
+    return pd.Series(jaro_winkler_max_batch(a.tolist(), bs.tolist()), dtype="float64")
+
+
+def monge_elkan(pairs: DataFrame, records: DataFrame) -> DataFrame:
+    """(a_key, b_key, me_ab, me_ba, me_sym): Monge-Elkan hybrid string
+    similarity (Monge & Elkan 1996; Christen 2012 §5.5) with Jaro-Winkler
+    as the internal measure — the classic ER scorer for token-REORDERED
+    and per-token-typo'd records, where whole-string JW collapses and
+    token Jaccard sees disjoint sets:
+
+        me_ab = mean over A's token occurrences of max_b JW(a_tok, b_tok)
+
+    It is asymmetric (a subset-titled record scores 1.0 against its
+    superset from the short side), so both directions plus the
+    symmetrized mean (Christen's recommended form) are returned. Each
+    token OCCURRENCE counts — positions, not distinct values, are the
+    ME outer sum (the SQL twin indexes by position for the same reason).
+
+    Scale shape: two rec_key equi-joins attach the token arrays; the
+    cross product lives INSIDE the Arrow kernel (posexplode of the outer
+    side is narrow; only (pair-key, position, max) rows — never the
+    arrays — cross the aggregation shuffle); one partial-agg'd
+    groupBy(pair) closes each direction. round(·,6) on the mean: the sum
+    order over bit-identical JW doubles differs between engines (the
+    documented tfidf discipline).
+
+    Reference analog: token-level soft matching generalizes the
+    reference's per-token candidate probe
+    (`md/MentionDetection.java:166-194`) from exact dictionary hits to
+    fuzzy token alignment."""
+    tok = records.select("rec_key", "tokens")
+    pt = (
+        pairs.join(tok.withColumnRenamed("rec_key", "a_key"), "a_key")
+        .withColumnRenamed("tokens", "a_tokens")
+        .join(tok.withColumnRenamed("rec_key", "b_key"), "b_key")
+        .withColumnRenamed("tokens", "b_tokens")
+    )
+
+    def _dir(src: DataFrame, out_name: str) -> DataFrame:
+        ex = src.select(
+            "a_key",
+            "b_key",
+            F.posexplode("from_tokens").alias("ti", "tok"),
+            F.col("to_tokens"),
+        )
+        mx = ex.select(
+            "a_key",
+            "b_key",
+            "ti",
+            jaro_winkler_max_udf(F.col("tok"), F.col("to_tokens")).alias("mx"),
+        )
+        # UNROUNDED directional mean: me_sym must be derived from the raw
+        # means — a mean of two already-6dp-rounded values lands exactly
+        # on .5 round boundaries half the time the last digits differ in
+        # parity, where Spark (HALF_UP on the shortest decimal repr) and
+        # DuckDB (scaled-double rounding) legitimately disagree. The raw
+        # means hit such boundaries with ~0 probability (the standard
+        # round(·,6) discipline).
+        return mx.groupBy("a_key", "b_key").agg(F.avg("mx").alias(out_name))
+
+    ab = _dir(
+        pt.select(
+            "a_key", "b_key",
+            F.col("a_tokens").alias("from_tokens"),
+            F.col("b_tokens").alias("to_tokens"),
+        ),
+        "me_ab",
+    )
+    ba = _dir(
+        pt.select(
+            "a_key", "b_key",
+            F.col("b_tokens").alias("from_tokens"),
+            F.col("a_tokens").alias("to_tokens"),
+        ),
+        "me_ba",
+    )
+    return ab.join(ba, ["a_key", "b_key"]).select(
+        "a_key",
+        "b_key",
+        F.round("me_ab", 6).alias("me_ab"),
+        F.round("me_ba", 6).alias("me_ba"),
+        F.round((F.col("me_ab") + F.col("me_ba")) / 2, 6).alias("me_sym"),
+    )
+
+
+def monge_elkan_sql(pairs_rel: str, records_rel: str) -> str:
+    """DuckDB twin: position-indexed unnest (range + array index — each
+    token occurrence is its own outer term), jaro_winkler_similarity on
+    the 64-char-truncated tokens, max per occurrence, round(avg,6) per
+    direction."""
+    jw = jaro_winkler_sql("f.from_tokens[t.i]", "b_tok")
+
+    def one(frm: str, to: str, out: str) -> str:
+        return f"""
+        SELECT a_key, b_key, avg(mx) AS {out}
+        FROM (
+          SELECT f.a_key, f.b_key, t.i, max({jw}) AS mx
+          FROM (SELECT p.a_key, p.b_key, ra.tokens AS from_tokens,
+                       rb.tokens AS to_tokens
+                FROM ({pairs_rel}) p
+                JOIN ({records_rel}) ra ON p.{frm} = ra.rec_key
+                JOIN ({records_rel}) rb ON p.{to} = rb.rec_key) f,
+               unnest(range(1, len(f.from_tokens) + 1)) AS t(i),
+               unnest(f.to_tokens) AS u(b_tok)
+          GROUP BY f.a_key, f.b_key, t.i
+        ) GROUP BY a_key, b_key
+        """
+
+    return f"""
+    SELECT ab.a_key, ab.b_key,
+           round(ab.me_ab, 6) AS me_ab, round(ba.me_ba, 6) AS me_ba,
+           round((ab.me_ab + ba.me_ba) / 2, 6) AS me_sym
+    FROM ({one('a_key', 'b_key', 'me_ab')}) ab
+    JOIN ({one('b_key', 'a_key', 'me_ba')}) ba USING (a_key, b_key)
+    """

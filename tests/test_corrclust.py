@@ -234,3 +234,84 @@ def test_progressive_pairs_budget_order_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+from entity_linking_spark.functions.jaro import jaro_winkler_py
+from entity_linking_spark.operators import evaluation as EVAL
+from entity_linking_spark.operators import scoring as S
+
+
+def test_monge_elkan_known_answer(spark):
+    """ME vs a hand-computed reference: token-reordered + typo'd record
+    pair where whole-string JW collapses but ME stays high."""
+    recs = spark.createDataFrame(
+        [("r1", ["peter", "christen"]), ("r2", ["christen", "pedro"])],
+        "rec_key string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([("r1", "r2")], "a_key string, b_key string")
+    row = S.monge_elkan(pairs, recs).collect()[0]
+
+    def me(frm, to):
+        return sum(max(jaro_winkler_py(a, b) for b in to) for a in frm) / len(frm)
+
+    ab = me(["peter", "christen"], ["christen", "pedro"])
+    ba = me(["christen", "pedro"], ["peter", "christen"])
+    assert row["me_ab"] == round(ab, 6)
+    assert row["me_ba"] == round(ba, 6)
+    assert row["me_sym"] == round((ab + ba) / 2, 6)
+
+
+def test_monge_elkan_asymmetry_subset(spark):
+    """A record whose tokens are a subset of the other's scores 1.0 from
+    the short side and < 1.0 from the long side — the documented ME
+    asymmetry, and why both directions are returned."""
+    recs = spark.createDataFrame(
+        [("s", ["alpha", "beta"]), ("l", ["alpha", "beta", "gamma"])],
+        "rec_key string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([("l", "s")], "a_key string, b_key string")
+    row = S.monge_elkan(pairs, recs).collect()[0]
+    assert row["me_ba"] == 1.0  # subset side: every token has an exact mate
+    assert row["me_ab"] < 1.0  # superset side: 'gamma' has no good mate
+
+
+def test_monge_elkan_counts_duplicate_token_occurrences(spark):
+    """ME's outer sum is over token OCCURRENCES: a duplicated unmatched
+    token drags the mean twice."""
+    recs = spark.createDataFrame(
+        [
+            ("d1", ["match", "zzz", "zzz"]),
+            ("d2", ["match"]),
+        ],
+        "rec_key string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([("d1", "d2")], "a_key string, b_key string")
+    row = S.monge_elkan(pairs, recs).collect()[0]
+    z = jaro_winkler_py("zzz", "match")
+    assert row["me_ab"] == round((1.0 + z + z) / 3, 6)
+
+
+def test_transitivity_conflicts_known_answer(spark):
+    """Path a-b-c-d with (a,c) a scored candidate and (b,d) never
+    compared: 2 two-hop pairs, 0 closed, 1 conflict, 1 unscored; closing
+    (a,c) with an edge moves it to n_closed and opens two new two-hop
+    pairs (a,d via c and b,c... already an edge)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "a_key string, b_key string"
+    )
+    cands = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "a_key string, b_key string",
+    )
+    row = EVAL.transitivity_conflicts(edges, cands).collect()[0]
+    assert (
+        row["n_two_hop"], row["n_closed"], row["n_conflict"], row["n_unscored"]
+    ) == (2, 0, 1, 1)
+    edges2 = edges.union(
+        spark.createDataFrame([("a", "c")], "a_key string, b_key string")
+    )
+    row2 = EVAL.transitivity_conflicts(edges2, cands).collect()[0]
+    # two-hop closed now: (b,c) via a, (a,c) via b, (a,b) via c — the new
+    # edge makes c a shared midpoint for (a,b) too
+    assert row2["n_closed"] == 3
+    assert row2["n_two_hop"] == row2["n_closed"] + row2["n_conflict"] + row2["n_unscored"]
