@@ -262,6 +262,22 @@ def q_progressive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MB.progressive_pairs(q_meta_block_weights(spark, sf_dir))
 
 
+def q_pair_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftTFIDF (Cohen-Ravikumar-Fienberg 2003) over the candidate
+    pairs: tfidf-weighted soft token alignment (JW ≥ 0.9) — the classic
+    hybrid that keeps corpus-level token importance while tolerating
+    per-token typos; `pair_tfidf_cosine` is its θ=1 special case. The
+    alignment argmax is integer-quantized + composite-key min_by, so
+    both engines pick identical matches (operators/tfidf.py)."""
+    pairs = _pairs(spark, sf_dir).select(
+        F.col("a_key").alias("a_id"), F.col("b_key").alias("b_id")
+    )
+    recs = _records(spark, sf_dir).select(
+        F.col("rec_key").alias("doc_id"), "tokens"
+    )
+    return TFI.pair_soft_tfidf(pairs, recs)
+
+
 def q_pair_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monge-Elkan hybrid similarity over the candidate pairs (JW inner
     measure, both directions + symmetrized mean) — the classic ER scorer
@@ -1821,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "progressive_pairs": q_progressive_pairs,
         "pair_monge_elkan": q_pair_monge_elkan,
         "transitivity_conflicts": q_transitivity_conflicts,
+        "pair_soft_tfidf": q_pair_soft_tfidf,
     }
 
 
@@ -2472,6 +2489,11 @@ def _training_data_oracles() -> dict[str, str]:
         "transitivity_conflicts": EVAL.transitivity_conflicts_sql(
             "SELECT a_key, b_key FROM edges",
             "SELECT a_key, b_key FROM pairs",
+            prefix_ctes=ORACLE.pipeline_ctes(CFG),
+        ),
+        "pair_soft_tfidf": TFI.pair_soft_tfidf_sql(
+            "SELECT a_key AS a_id, b_key AS b_id FROM pairs",
+            "SELECT rec_key AS doc_id, tokens FROM records",
             prefix_ctes=ORACLE.pipeline_ctes(CFG),
         ),
     }

@@ -462,3 +462,147 @@ def pair_tfidf_cosine_sql(pairs_rel: str, records_rel: str) -> str:
     JOIN (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM ({tfidf}) GROUP BY doc_id) nb
       ON p.b_id = nb.doc_id
     """
+
+
+SOFT_TFIDF_THETA_E9 = 900_000_000  # θ = 0.90 as an exact integer (×1e9)
+
+
+def pair_soft_tfidf(
+    pairs: DataFrame,
+    records: DataFrame,
+    theta_e9: int = SOFT_TFIDF_THETA_E9,
+    tfidf_in: DataFrame | None = None,
+) -> DataFrame:
+    """(a_id, b_id, soft_tfidf): SoftTFIDF (Cohen, Ravikumar, Fienberg
+    2003, "A comparison of string distance metrics for name-matching
+    tasks") — THE classic hybrid record-linkage measure, combining
+    corpus-level token importance with character-level token alignment:
+
+        soft(a,b) = Σ_{w ∈ a, maxJW(w,b) ≥ θ} V(w,a) · V(match(w),b) · maxJW
+
+    where V is the L2-normalized tfidf weight and match(w) is b's
+    best-JW token. `pair_tfidf_cosine` is exactly the θ=1 special case
+    (only identical tokens align, JW factor 1); SoftTFIDF keeps the
+    tfidf weighting while tolerating per-token typos.
+
+    Engine-portable determinism: the alignment argmax never compares
+    doubles — jw is quantized to an exact integer (⌊jw·1e9⌋, identical
+    on the bit-identical JW doubles both engines compute) and the best
+    match is `min_by` over the composite string key (1e9−jw_e9 zero-
+    padded, then the token) — the golden_records tie-break discipline;
+    θ is applied as an integer compare. Only the FINAL weighted sum is
+    an order-dependent double accumulation, rounded per the module's
+    documented round(·,6) policy (same as the cosine).
+
+    Scale shape: two tfidf equi-joins fan each pair out to its |A|·|B|
+    distinct-term cross product (the same expansion the exact cosine's
+    term join performs, un-gated by term equality — bounded by the
+    block cap × token counts); the JW pandas-UDF batches it through the
+    Arrow kernel; ONE partial-agg'd groupBy per stage (argmax, then
+    pair sum), no windows."""
+    if tfidf_in is None:
+        tfidf_in = token_tfidf(records)
+    tfidf = tfidf_in.select("doc_id", "term", F.col("tfidf").alias("w"))
+    norms = tfidf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    ta = tfidf.select(
+        F.col("doc_id").alias("a_id"), F.col("term").alias("term_a"),
+        F.col("w").alias("wa"),
+    )
+    tb = tfidf.select(
+        F.col("doc_id").alias("b_id"), F.col("term").alias("term_b"),
+        F.col("w").alias("wb"),
+    )
+    from .scoring import jaro_winkler_udf
+
+    cross = (
+        pairs.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn("jw", jaro_winkler_udf(F.col("term_a"), F.col("term_b")))
+        .withColumn("jw_e9", F.floor(F.col("jw") * 1e9).cast("long"))
+    )
+    key = F.concat(
+        F.lpad((F.lit(1_000_000_000) - F.col("jw_e9")).cast("string"), 10, "0"),
+        F.lit("|"),
+        F.col("term_b"),
+    )
+    best = (
+        cross.groupBy("a_id", "b_id", "term_a")
+        .agg(
+            F.min("wa").alias("wa"),
+            F.max("jw_e9").alias("mx_e9"),
+            F.min_by("jw", key).alias("mx_jw"),
+            F.min_by("wb", key).alias("wb_match"),
+        )
+        .filter(F.col("mx_e9") >= theta_e9)
+    )
+    dots = best.groupBy("a_id", "b_id").agg(
+        F.sum(F.col("wa") * F.col("wb_match") * F.col("mx_jw")).alias("dot")
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(dots, ["a_id", "b_id"], "left")
+        .join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)),
+                6,
+            ).alias("soft_tfidf"),
+        )
+    )
+
+
+def pair_soft_tfidf_sql(
+    pairs_rel: str,
+    records_rel: str,
+    theta_e9: int = SOFT_TFIDF_THETA_E9,
+    prefix_ctes: str = "",
+) -> str:
+    from .scoring import jaro_winkler_sql
+
+    pre = f"{prefix_ctes}," if prefix_ctes else ""
+    tfidf = (
+        f"SELECT doc_id, term, tfidf AS w FROM ({token_tfidf_sql(records_rel)})"
+    )
+    jw = jaro_winkler_sql("ta.term", "tb.term")
+    return f"""
+    WITH {pre} st_w AS MATERIALIZED ({tfidf}),
+    st_nrm AS MATERIALIZED (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM st_w GROUP BY doc_id
+    ),
+    st_cross AS (
+      SELECT p.a_id, p.b_id, ta.term AS term_a, ta.w AS wa,
+             tb.term AS term_b, tb.w AS wb,
+             {jw} AS jw,
+             CAST(floor(({jw}) * 1e9) AS BIGINT) AS jw_e9
+      FROM ({pairs_rel}) p
+      JOIN st_w ta ON p.a_id = ta.doc_id
+      JOIN st_w tb ON p.b_id = tb.doc_id
+    ),
+    st_best AS (
+      SELECT a_id, b_id, term_a, min(wa) AS wa, max(jw_e9) AS mx_e9,
+             arg_min(jw, lpad(CAST(1000000000 - jw_e9 AS VARCHAR), 10, '0')
+                         || '|' || term_b) AS mx_jw,
+             arg_min(wb, lpad(CAST(1000000000 - jw_e9 AS VARCHAR), 10, '0')
+                         || '|' || term_b) AS wb_match
+      FROM st_cross GROUP BY a_id, b_id, term_a
+    ),
+    st_dot AS (
+      SELECT a_id, b_id, sum(wa * wb_match * mx_jw) AS dot
+      FROM st_best WHERE mx_e9 >= {int(theta_e9)}
+      GROUP BY a_id, b_id
+    )
+    SELECT p.a_id, p.b_id,
+           round(coalesce(d.dot, 0.0) / greatest(na.nrm * nb.nrm, 1e-12), 6)
+             AS soft_tfidf
+    FROM ({pairs_rel}) p
+    LEFT JOIN st_dot d ON p.a_id = d.a_id AND p.b_id = d.b_id
+    JOIN st_nrm na ON p.a_id = na.doc_id
+    JOIN st_nrm nb ON p.b_id = nb.doc_id
+    """

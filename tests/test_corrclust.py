@@ -315,3 +315,60 @@ def test_transitivity_conflicts_known_answer(spark):
     # edge makes c a shared midpoint for (a,b) too
     assert row2["n_closed"] == 3
     assert row2["n_two_hop"] == row2["n_closed"] + row2["n_conflict"] + row2["n_unscored"]
+
+
+def test_soft_tfidf_known_answer_and_theta(spark):
+    """Hand-computed SoftTFIDF on a 3-doc corpus: at θ=0.9 the typo pair
+    smith/smyth (JW≈0.893) does NOT align and only 'john' contributes;
+    lowering θ to 0.88 admits it with its JW factor. Weights are
+    tf·ln(N/df), L2-normalized per doc."""
+    import math
+
+    from entity_linking_spark.operators import tfidf as TFI
+
+    recs = spark.createDataFrame(
+        [("d1", ["smith", "john"]), ("d2", ["smyth", "john"]), ("d3", ["apple"])],
+        "doc_id string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([("d1", "d2")], "a_id string, b_id string")
+
+    w_rare = math.log(3.0 / 1.0)  # smith / smyth / apple
+    w_john = math.log(3.0 / 2.0)
+    nrm = math.sqrt(w_rare**2 + w_john**2)  # same for d1 and d2
+    jw_typo = jaro_winkler_py("smith", "smyth")
+    assert 0.88 < jw_typo < 0.9  # the planted θ boundary
+
+    got_strict = TFI.pair_soft_tfidf(pairs, recs).collect()[0]["soft_tfidf"]
+    want_strict = (w_john * w_john * 1.0) / (nrm * nrm)
+    assert got_strict == round(want_strict, 6)
+
+    got_loose = TFI.pair_soft_tfidf(pairs, recs, theta_e9=880_000_000).collect()[
+        0
+    ]["soft_tfidf"]
+    want_loose = (w_john * w_john * 1.0 + w_rare * w_rare * jw_typo) / (nrm * nrm)
+    assert got_loose == round(want_loose, 6)
+
+
+def test_soft_tfidf_degenerates_to_cosine_on_exact_tokens(spark):
+    """On a pair whose aligned tokens are all EXACT matches, SoftTFIDF
+    equals the tfidf cosine (its θ=1 special case) — here the two docs
+    share disjoint-vs-shared tokens chosen so no cross-token JW clears
+    θ=0.9."""
+    from entity_linking_spark.operators import tfidf as TFI
+
+    recs = spark.createDataFrame(
+        [
+            ("d1", ["zebra", "quorum", "shared"]),
+            ("d2", ["matrix", "shared", "puddle"]),
+            ("d3", ["filler"]),
+        ],
+        "doc_id string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([("d1", "d2")], "a_id string, b_id string")
+    for a in ["zebra", "quorum", "shared"]:
+        for b in ["matrix", "shared", "puddle"]:
+            if a != b:
+                assert jaro_winkler_py(a, b) < 0.9
+    soft = TFI.pair_soft_tfidf(pairs, recs).collect()[0]["soft_tfidf"]
+    cos = TFI.pair_tfidf_cosine(pairs, recs).collect()[0]["cosine"]
+    assert soft == cos > 0
