@@ -262,6 +262,15 @@ def q_progressive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MB.progressive_pairs(q_meta_block_weights(spark, sf_dir))
 
 
+def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family cap audit over the SHIPPED union block table: block
+    counts, max size, what the cap drops, and the exact Σ C(n,2) pair
+    budgets kept vs refused — the measured justification for the fan-out
+    guard the reference hard-codes as MAX_CANDIDATES=2000
+    (operators/blocking.py:block_family_stats)."""
+    return B.block_family_stats(_blocks(spark, sf_dir), CFG.block_cap)
+
+
 def q_pair_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SoftTFIDF (Cohen-Ravikumar-Fienberg 2003) over the candidate
     pairs: tfidf-weighted soft token alignment (JW ≥ 0.9) — the classic
@@ -1838,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_monge_elkan": q_pair_monge_elkan,
         "transitivity_conflicts": q_transitivity_conflicts,
         "pair_soft_tfidf": q_pair_soft_tfidf,
+        "block_stats": q_block_stats,
     }
 
 
@@ -2495,5 +2505,9 @@ def _training_data_oracles() -> dict[str, str]:
             "SELECT a_key AS a_id, b_key AS b_id FROM pairs",
             "SELECT rec_key AS doc_id, tokens FROM records",
             prefix_ctes=ORACLE.pipeline_ctes(CFG),
+        ),
+        "block_stats": (
+            f"WITH {ORACLE.pipeline_ctes(CFG)} "
+            + B.block_family_stats_sql("SELECT * FROM blocks", CFG.block_cap)
         ),
     }

@@ -329,3 +329,73 @@ def salt_blocks_sql(
       FROM ({blocked_rel})
     )
     """
+
+
+def block_family_stats(blocked: DataFrame, cap: int) -> DataFrame:
+    """One row per blocking-key family over a (rec_key, block_key) table:
+    the CAP AUDIT that justifies the fan-out guard's setting — what the
+    reference hard-codes as MAX_CANDIDATES=2000
+    (`md/MentionDetection.java:23-24`) chosen by inspection, made a
+    measurable table:
+
+      family           key prefix before ':' (mh0..mhN collapse to 'mh')
+      n_blocks         distinct keys
+      n_entries        (record, key) memberships
+      max_block        largest block
+      n_blocks_over    blocks the cap will drop
+      entries_dropped  memberships lost to the cap
+      pairs_kept       Σ C(n,2) over surviving blocks — the pair-generation
+                       budget the self-join will actually pay
+      pairs_dropped    Σ C(n,2) over dropped blocks — the quadratic work
+                       the cap refused
+
+    All exact integers. Scale shape: ONE partial-agg'd
+    groupBy(block_key) for sizes (a hot key collapses map-side), then a
+    family-keyed re-aggregation over one row per block — the distribution
+    is never materialized per record."""
+    fam = F.regexp_replace(
+        F.regexp_extract(F.col("block_key"), r"^([a-z0-9]+):", 1),
+        r"^mh[0-9]+$",
+        "mh",
+    )
+    sizes = blocked.groupBy(fam.alias("family"), "block_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c2 = F.shiftright((F.col("n") * (F.col("n") - 1)).cast("long"), 1)
+    over = F.col("n") > cap
+    return sizes.groupBy("family").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("n").cast("long").alias("n_entries"),
+        F.max("n").cast("long").alias("max_block"),
+        F.sum(over.cast("long")).cast("long").alias("n_blocks_over"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias(
+            "entries_dropped"
+        ),
+        F.sum(F.when(~over, c2).otherwise(0)).cast("long").alias("pairs_kept"),
+        F.sum(F.when(over, c2).otherwise(0)).cast("long").alias("pairs_dropped"),
+    )
+
+
+def block_family_stats_sql(blocked_rel: str, cap: int) -> str:
+    return f"""
+    SELECT family,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n) AS BIGINT) AS n_entries,
+           CAST(max(n) AS BIGINT) AS max_block,
+           CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks_over,
+           CAST(sum(CASE WHEN n > {cap} THEN n ELSE 0 END) AS BIGINT)
+             AS entries_dropped,
+           CAST(sum(CASE WHEN n <= {cap} THEN (n * (n - 1)) // 2 ELSE 0 END)
+                AS BIGINT) AS pairs_kept,
+           CAST(sum(CASE WHEN n > {cap} THEN (n * (n - 1)) // 2 ELSE 0 END)
+                AS BIGINT) AS pairs_dropped
+    FROM (
+      SELECT regexp_replace(regexp_extract(block_key, '^([a-z0-9]+):', 1),
+                            '^mh[0-9]+$', 'mh') AS family,
+             block_key, count(*) AS n
+      FROM ({blocked_rel})
+      GROUP BY 1, 2
+    )
+    GROUP BY family
+    """

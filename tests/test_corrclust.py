@@ -372,3 +372,20 @@ def test_soft_tfidf_degenerates_to_cosine_on_exact_tokens(spark):
     soft = TFI.pair_soft_tfidf(pairs, recs).collect()[0]["soft_tfidf"]
     cos = TFI.pair_tfidf_cosine(pairs, recs).collect()[0]["cosine"]
     assert soft == cos > 0
+
+
+def test_block_family_stats_cap_audit(spark):
+    """Planted two families: 'tk' with blocks of size 3 and 5 (cap 4 →
+    the 5-block drops), 'mh0/mh1' collapsing to family 'mh'. Exact
+    integer pair budgets."""
+    rows = [(f"r{i}", "tk:a") for i in range(3)]
+    rows += [(f"s{i}", "tk:b") for i in range(5)]
+    rows += [("x1", "mh0:h1"), ("x2", "mh0:h1"), ("x3", "mh1:h2")]
+    blocked = spark.createDataFrame(rows, "rec_key string, block_key string")
+    out = {r["family"]: r for r in B.block_family_stats(blocked, cap=4).collect()}
+    tk, mh = out["tk"], out["mh"]
+    assert (tk["n_blocks"], tk["n_entries"], tk["max_block"]) == (2, 8, 5)
+    assert (tk["n_blocks_over"], tk["entries_dropped"]) == (1, 5)
+    assert (tk["pairs_kept"], tk["pairs_dropped"]) == (3, 10)  # C(3,2), C(5,2)
+    assert (mh["n_blocks"], mh["n_entries"], mh["max_block"]) == (2, 3, 2)
+    assert (mh["pairs_kept"], mh["pairs_dropped"]) == (1, 0)
