@@ -262,6 +262,19 @@ def q_progressive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MB.progressive_pairs(q_meta_block_weights(spark, sf_dir))
 
 
+def q_fs_corr_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY unsupervised AND disagreement-minimizing linking: EM-fitted
+    Fellegi-Sunter posterior ≥ 1/2 edges (no hand weights, no labels)
+    into deterministic-pivot KwikCluster (no chain-merges) — the
+    composition of the round's two decision-theory upgrades; compare
+    against `fs_clusters` (closure tail) and `corr_clusters`
+    (supervised-rule edges) on the same corpus."""
+    edges = FS.fs_match_scores(_features(spark, sf_dir)).filter(
+        F.col("fs_match") == 1
+    ).select("a_key", "b_key")
+    return KC.pivot_clusters_with_singletons(_records(spark, sf_dir), edges)
+
+
 def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-family cap audit over the SHIPPED union block table: block
     counts, max size, what the cap drops, and the exact Σ C(n,2) pair
@@ -1848,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity_conflicts": q_transitivity_conflicts,
         "pair_soft_tfidf": q_pair_soft_tfidf,
         "block_stats": q_block_stats,
+        "fs_corr_clusters": q_fs_corr_clusters,
     }
 
 
@@ -2509,5 +2523,13 @@ def _training_data_oracles() -> dict[str, str]:
         "block_stats": (
             f"WITH {ORACLE.pipeline_ctes(CFG)} "
             + B.block_family_stats_sql("SELECT * FROM blocks", CFG.block_cap)
+        ),
+        "fs_corr_clusters": KC.pivot_clusters_sql(
+            "SELECT * FROM records",
+            "SELECT * FROM fs_edges",
+            prefix_ctes=(
+                f"{ORACLE.pipeline_ctes(CFG)}, "
+                f"{FS.fs_edges_ctes('SELECT * FROM features')}"
+            ),
         ),
     }
