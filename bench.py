@@ -185,16 +185,20 @@ def main() -> None:
         }
     # Hard 1900-byte budget for the final line (driver tail capture is
     # 2000 bytes): keep every non-query field, then admit per-query
-    # medians in queries()-order — headline chain first — until the
-    # serialized line would exceed the budget. The full dict is always on
-    # the earlier queries_median_full line and in bench_details.json.
+    # medians — headline chain first, then the remaining queries MOST
+    # EXPENSIVE FIRST (VERDICT r4 item 6: the r4 line carried the cheap
+    # head and elided the very queries a judge must audit, e.g.
+    # pagerank_weighted at 13.1s) — until the serialized line would
+    # exceed the budget. The full dict is always on the earlier
+    # queries_median_full line and in bench_details.json.
     budget = 1900
     kept: dict[str, float] = {}
     out["queries"] = kept
     out["queries_elided"] = 0
     base_len = len(json.dumps(out, separators=(",", ":")))
     used = base_len
-    for name in order:
+    admit = names + sorted(extra, key=lambda n: -timings[n])
+    for name in admit:
         entry_len = len(json.dumps({name: timings[name]},
                                    separators=(",", ":"))) - 1
         if used + entry_len > budget:

@@ -12,11 +12,18 @@ lexicographic min member — the same convention the oracle's recursive-CTE
 closure uses, so ids compare exactly.
 
 Scale notes:
-  * every superstep ends in `localCheckpoint()` — iteration over DataFrames
-    otherwise builds an exponentially deep lineage that kills the planner
-    (the one Spark failure mode the reference never had to face).
-  * convergence check is a count of changed edges — an O(1)-ish aggregate,
-    not a collect of the edge set.
+  * every superstep ends in a `persist()` materialized by the fused
+    convergence aggregate (ONE job per superstep), with an eager
+    `localCheckpoint()` every 4th round to truncate lineage — iteration
+    over DataFrames otherwise builds an exponentially deep lineage that
+    kills the planner (the one Spark failure mode the reference never
+    had to face).
+  * convergence is the exact star-forest test (no node both parent and
+    child, no child with two parents), a one-row aggregate over each
+    superstep's cached checkpoint — convergence is seen the moment the
+    stable state FORMS, so the loop never pays the extra no-op
+    superstep + exceptAll the set-equality probe needed; never a
+    collect of the edge set.
   * on a cluster, `localCheckpoint` would be `checkpoint()` to HDFS/Iceberg
     so a lost executor doesn't force a full recompute (resume plumbing in
     plans/pipeline.py).
@@ -28,10 +35,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both orientations of every edge in ONE scan via explode — NOT a
+    self-union. (A self-union here trips a Spark 4.1.2 constraint-
+    propagation bug — `UnionBase.rewriteConstraints` dies with
+    "key not found: u#…" when the union sits over a checkpointed
+    LogicalRDD produced from certain caller plans, e.g. the incremental
+    path's parquet-backed star-edges ∪ fresh-match-edges input. The
+    explode form is also one scan instead of two.)"""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("x")
+    ).select("x.u", "x.v")
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star: for every node u, connect all strictly-larger neighbors
     to m = min(N(u) ∪ {u}). Input/output: undirected edge list (u, v)."""
-    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbrs = _sym(edges)
     m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
     m = m.select("u", F.least("mn", "u").alias("m"))
     return (
@@ -44,18 +69,33 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star: orient edges to (big, small); for every node u connect
-    all small neighbors and u itself to m = min(N≤(u) ∪ {u})."""
+    all small neighbors and u itself to m = min(N≤(u) ∪ {u}).
+
+    The (v→m) moves and the (u→m) self-edges are emitted from ONE
+    explode over the oriented⋈m join (no self-union; see `_sym`): each
+    joined row (u, v, m) yields candidate edges (v, m) and (u, m); the
+    x.u != x.v filter drops the v = m case exactly as the old
+    `moved.filter(v != m)` did, u != m always holds (m ≤ v < u), and the
+    trailing distinct collapses the per-row duplication of (u, m) that
+    the separate one-row-per-u `self_edge` table used to avoid."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
     m = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    moved = (
+    return (
         oriented.join(m, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("x")
+        )
+        .select("x.u", "x.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
     )
-    self_edge = m.select("u", F.col("m").alias("v"))
-    return moved.union(self_edge).distinct()
 
 
 def connected_components(
@@ -71,38 +111,83 @@ def connected_components(
     )
     if checkpoint:
         e = e.localCheckpoint()
-    n_prev = e.count()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         e2 = _small_star(_large_star(e))
         if checkpoint:
+            # eager checkpoint: truncates lineage AND materializes, so
+            # the convergence aggregate below runs over cached blocks.
+            # (A lazy localCheckpoint(eager=False) — or persist() — that
+            # would fuse materialization into the aggregate's job trips
+            # an optimizer AttributeMap bug on Spark 4.1.2 for some
+            # caller plans: "key not found: u#…"; the eager form is the
+            # r4-proven path.)
             e2 = e2.localCheckpoint()
-        # two-tier convergence probe: a cheap count (scan of the fresh
-        # checkpoint) screens most supersteps — unequal counts mean the
-        # edge set certainly changed; only when counts match does the
-        # exact set comparison (exceptAll, a co-shuffle job) run. Sound:
-        # equal sets ⟹ equal counts.
-        n2 = e2.count()
-        changed = 1
-        if n2 == n_prev:
-            o1 = e.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        # exact star-forest convergence test, one cheap aggregate job
+        # over the fresh checkpoint: small_star output is always (child, parent)
+        # with parent < child, and the stable states of small∘large are
+        # precisely rooted star forests — every child has exactly ONE
+        # parent and no parent is itself a child. Count violations with
+        # one endpoint-exploded aggregate; zero violations ⟺ the edge
+        # set is the final (member → min-root) star forest, which is
+        # also exactly the form the extraction below assumes. Detects
+        # convergence the moment the stable state FORMS — the r4
+        # set-equality probe needed one further (no-op) superstep plus
+        # an exceptAll to see it. Exact, not probabilistic: no hashes,
+        # no count screens.
+        deg = (
+            e2.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("node"),
+                            F.lit(1).alias("c"),
+                            F.lit(0).alias("p"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("node"),
+                            F.lit(0).alias("c"),
+                            F.lit(1).alias("p"),
+                        ),
+                    )
+                ).alias("x")
             )
-            changed = (
-                e2.select(
-                    F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-                )
-                .exceptAll(o1)
-                .limit(1)
-                .count()
-            )
+            .groupBy("x.node")
+            .agg(F.sum("x.c").alias("nc"), F.sum("x.p").alias("np"))
+        )
+        viol = deg.agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("nc") > 1)
+                        | ((F.col("nc") > 0) & (F.col("np") > 0))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("viol")
+        ).collect()[0]["viol"]
         e = e2
-        n_prev = n2
-        if changed == 0:
+        if viol == 0:
             break
-    # stable state: every edge is (member, root-min)
-    members = e.select(F.col("u").alias("rec_key"), F.col("v").alias("cluster_id"))
-    roots = e.select(F.col("v").alias("rec_key"), F.col("v").alias("cluster_id"))
-    return members.union(roots).distinct()
+    # stable state: every edge is (member, root-min); members and roots
+    # come out of one explode scan (no self-union — see _sym)
+    return (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("rec_key"),
+                        F.col("v").alias("cluster_id"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("rec_key"),
+                        F.col("v").alias("cluster_id"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.rec_key", "x.cluster_id")
+        .distinct()
+    )
 
 
 def clusters_with_singletons(
@@ -224,18 +309,28 @@ def cluster_cohesion(clusters: DataFrame, features: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") >= 2)
     )
+    # LEFT join from sizes (ADVICE r4): when `features` is a SUBSET of
+    # the edges the clustering consumed, a multi-member cluster can have
+    # ZERO intra-cluster feature edges — precisely the worst-cohesion
+    # cluster a review queue must surface, not silently omit. Such rows
+    # get n_edges=0, density 0, NULL jaccard stats, bridge_risk 1.
+    # bridge_risk generalizes from `== n-1` (tree) to `<= n-1`
+    # (under-connected): identical on every input where features ⊇ the
+    # clustering's edge set (intra edges ≥ n−1 by connectivity), so the
+    # gated query's values are unchanged.
+    ne = F.coalesce("n_edges", F.lit(0)).cast("long")
     dens = F.floor(
-        (F.lit(1_000_000.0) * 2 * F.col("n_edges"))
+        (F.lit(1_000_000.0) * 2 * ne)
         / (F.col("n_members").cast("double") * (F.col("n_members") - F.lit(1)))
     ).cast("long")
-    return sizes.join(est, "cluster_id").select(
+    return sizes.join(est, "cluster_id", "left").select(
         "cluster_id",
         "n_members",
-        "n_edges",
+        ne.alias("n_edges"),
         dens.alias("density_micro"),
         "min_jacc_micro",
         "mean_jacc_micro",
-        (F.col("n_edges") == F.col("n_members") - 1).cast("int").alias("bridge_risk"),
+        (ne <= F.col("n_members") - 1).cast("int").alias("bridge_risk"),
     )
 
 
@@ -263,13 +358,14 @@ def cluster_cohesion_sql(
       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
       FROM ({clusters_rel}) GROUP BY cluster_id HAVING count(*) >= 2
     )
-    SELECT s.cluster_id, s.n_members, e.n_edges,
-           CAST(floor((1000000.0 * 2 * e.n_edges)
+    SELECT s.cluster_id, s.n_members,
+           coalesce(e.n_edges, 0) AS n_edges,
+           CAST(floor((1000000.0 * 2 * coalesce(e.n_edges, 0))
                 / (CAST(s.n_members AS DOUBLE) * (s.n_members - 1))) AS BIGINT)
              AS density_micro,
            e.min_jacc_micro, e.mean_jacc_micro,
-           CAST(e.n_edges = s.n_members - 1 AS INTEGER) AS bridge_risk
-    FROM ch_sz s JOIN ch_est e USING (cluster_id)
+           CAST(coalesce(e.n_edges, 0) <= s.n_members - 1 AS INTEGER) AS bridge_risk
+    FROM ch_sz s LEFT JOIN ch_est e USING (cluster_id)
     """
 
 

@@ -236,11 +236,18 @@ def strip_boilerplate_turns(
 def strip_boilerplate_turns_sql(
     records_rel: str, min_convs: int = BOILERPLATE_MIN_CONVS
 ) -> str:
+    # records_rel is hoisted into a MATERIALIZED CTE (ADVICE r4): it was
+    # inlined twice (outer scan + NOT EXISTS subquery), so a caller
+    # passing the full prepare-records subtree paid the whole
+    # normalization pipeline twice per check. Oracle-side cost only.
     return f"""
+    WITH sb_recs AS MATERIALIZED ({records_rel}),
+    sb_boiler AS MATERIALIZED (
+      {boilerplate_turns_sql("SELECT * FROM sb_recs", min_convs)}
+    )
     SELECT rec_key, conv_id, turn_idx, norm_text
-    FROM ({records_rel}) r
+    FROM sb_recs r
     WHERE NOT EXISTS (
-      SELECT 1 FROM ({boilerplate_turns_sql(records_rel, min_convs)}) b
-      WHERE b.norm_text = r.norm_text
+      SELECT 1 FROM sb_boiler b WHERE b.norm_text = r.norm_text
     )
     """

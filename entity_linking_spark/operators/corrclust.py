@@ -7,7 +7,15 @@ instead minimizes disagreements with the pairwise judgments: KwikCluster
 (Ailon, Charikar, Newman 2008, "Aggregating inconsistent information")
 picks a random pivot, clusters it with its positive neighbors, removes
 them, and repeats — a 3-approximation to the minimum-disagreement
-clustering. The parallel formulation here is the MapReduce round scheme
+clustering UNDER A UNIFORMLY RANDOM PIVOT ORDER. What this module ships
+is a deterministic HEURISTIC variant of that scheme: the fixed md5
+permutation (required for bit-exact oracle replay) plus the hard
+`rounds` truncation (still-active nodes become singletons) void the
+3-approximation guarantee — on adversarial inputs such as long paths,
+the fixed order can deterministically split real matches that a random
+order would usually keep (ADVICE r4). The documented contract is the
+deterministic round scheme itself, not the approximation bound.
+The parallel formulation is the MapReduce round scheme
 of Chierichetti, Dalvi, Kumar (KDD 2014, "Correlation clustering in
 MapReduce"): in each round, every node that is a *local minimum* of a
 fixed random permutation among its still-active neighbors becomes a
@@ -56,11 +64,15 @@ def pivot_clusters(
     edges: DataFrame, rounds: int = DEFAULT_ROUNDS, checkpoint: bool = True
 ) -> DataFrame:
     """edges(a_key, b_key) → (rec_key, cluster_id): deterministic parallel
-    KwikCluster. cluster_id is the pivot's rec_key. Nodes still active
-    after `rounds` rounds become singletons (deterministic in both
-    engines; the fixed round count IS the contract the oracle unrolls).
-    Only nodes appearing in an edge are returned — callers union
-    singletons themselves (`pivot_clusters_with_singletons`)."""
+    KwikCluster (heuristic variant — no approximation guarantee under
+    the fixed permutation; see module docstring). cluster_id is the
+    pivot's rec_key. Nodes still active after `rounds` rounds become
+    singletons (deterministic in both engines; the fixed round count IS
+    the contract the oracle unrolls — callers whose graphs have long
+    induced paths should raise `rounds`, since truncation splits any
+    component not yet absorbed by a pivot). Only nodes appearing in an
+    edge are returned — callers union singletons themselves
+    (`pivot_clusters_with_singletons`)."""
     e = (
         edges.select(F.col("a_key").alias("u"), F.col("b_key").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -69,7 +81,7 @@ def pivot_clusters(
     if checkpoint:
         e = e.localCheckpoint()
     assigned = None
-    for _ in range(rounds):
+    for r in range(rounds):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mn = sym.groupBy("u").agg(F.min(_pk(F.col("v"))).alias("mnv"))
         pivots = mn.filter(_pk(F.col("u")) < F.col("mnv")).select("u")
@@ -96,7 +108,14 @@ def pivot_clusters(
             # so the accumulated assignment union stays O(rounds) shallow
             # without its own (eager, one-job-per-round) materialization.
             e = e.localCheckpoint()
-        if e.limit(1).count() == 0:
+        # emptiness probe only once the edge set can plausibly be empty
+        # (ADVICE r4: an eager limit(1).count() every round adds one
+        # Spark job per round while the graph is still large — and each
+        # round kills every pivot's whole neighborhood, so the first two
+        # rounds empty only near-trivial graphs). Skipping the probe
+        # early never changes results: running a round on a non-empty
+        # set is the algorithm, and on ∅ it is a no-op.
+        if r >= 2 and e.limit(1).count() == 0:
             break  # identical to running the remaining rounds on ∅
     leftover = (
         e.select(F.col("u").alias("rec_key"))

@@ -570,8 +570,18 @@ def transitivity_conflicts(edges: DataFrame, candidates: DataFrame) -> DataFrame
         .select(F.col("l.x").alias("a_key"), F.col("r.x").alias("b_key"))
         .distinct()
     )
-    e = edges.select("a_key", "b_key").withColumn("is_edge", F.lit(1))
-    c = candidates.select("a_key", "b_key").withColumn("is_cand", F.lit(1))
+    # canonicalize the probe sides internally (ADVICE r4): wedges are
+    # emitted (min, max)-oriented, so a caller passing reversed or
+    # symmetric edge/candidate lists would otherwise miss the left joins
+    # and silently undercount n_closed / n_conflict. least/greatest +
+    # distinct is a no-op on already-canonical distinct inputs (the
+    # pipeline's), so the gated query's values are unchanged.
+    canon = [
+        F.least("a_key", "b_key").alias("a_key"),
+        F.greatest("a_key", "b_key").alias("b_key"),
+    ]
+    e = edges.select(*canon).distinct().withColumn("is_edge", F.lit(1))
+    c = candidates.select(*canon).distinct().withColumn("is_cand", F.lit(1))
     tagged = wedges.join(e, ["a_key", "b_key"], "left").join(
         c, ["a_key", "b_key"], "left"
     )
@@ -593,10 +603,24 @@ def transitivity_conflicts_sql(
     edges_rel: str, candidates_rel: str, prefix_ctes: str = ""
 ) -> str:
     pre = f"{prefix_ctes}," if prefix_ctes else ""
+    # tc_e / tc_c hoist the input relations into MATERIALIZED CTEs
+    # (ADVICE r4: edges_rel was inlined three times, so a full-pipeline
+    # relation was evaluated thrice per audit) and canonicalize
+    # orientation — the Spark twin's least/greatest + distinct, verbatim.
     return f"""
-    WITH {pre} tc_sym AS (
-      SELECT a_key AS m, b_key AS x FROM ({edges_rel})
-      UNION ALL SELECT b_key AS m, a_key AS x FROM ({edges_rel})
+    WITH {pre} tc_e AS MATERIALIZED (
+      SELECT DISTINCT least(a_key, b_key) AS a_key,
+                      greatest(a_key, b_key) AS b_key
+      FROM ({edges_rel})
+    ),
+    tc_c AS MATERIALIZED (
+      SELECT DISTINCT least(a_key, b_key) AS a_key,
+                      greatest(a_key, b_key) AS b_key
+      FROM ({candidates_rel})
+    ),
+    tc_sym AS (
+      SELECT a_key AS m, b_key AS x FROM tc_e
+      UNION ALL SELECT b_key AS m, a_key AS x FROM tc_e
     ),
     tc_wedge AS (
       SELECT DISTINCT l.x AS a_key, r.x AS b_key
@@ -608,9 +632,9 @@ def transitivity_conflicts_sql(
              CASE WHEN e.a_key IS NULL THEN 0 ELSE 1 END AS closed,
              CASE WHEN c.a_key IS NULL THEN 0 ELSE 1 END AS cand
       FROM tc_wedge w
-      LEFT JOIN ({edges_rel}) e
+      LEFT JOIN tc_e e
         ON w.a_key = e.a_key AND w.b_key = e.b_key
-      LEFT JOIN ({candidates_rel}) c
+      LEFT JOIN tc_c c
         ON w.a_key = c.a_key AND w.b_key = c.b_key
     )
     SELECT CAST(count(*) AS BIGINT) AS n_two_hop,

@@ -19,11 +19,11 @@ driver — the same driver-held-model topology as the k-means centroids
     flatten + segment-sum numpy kernel (`_margin_udf`) with the weights
     captured in the closure — zero joins, zero per-row Python, vs a
     Spark HOF fold whose lambda is interpreted per element (the jaro.py
-    lesson applied at design time). Known remaining interpreted cost:
-    the bucket HASHING in `_buckets_col` is an `F.transform` HOF whose
-    lambda is interpreted per token (~20µs/element) — accepted, because
-    the only alternative is per-token Python hashing inside the kernel;
-    the vectorization win stops at the summation.
+    lesson applied at design time). The bucket HASHING is vectorized
+    too (round 5, ADVICE r4 option b): portable mode hashes the whole
+    token batch through the numpy MD5 kernel (`functions/md5np.py`,
+    bit-identical to the JVM md5-h60 chain) instead of an interpreted
+    `F.transform` lambda (~20µs/element → ~2.7µs vectorized).
   * gradient pass: the SAME scan explodes (bucket, per-doc error
     quantum) pairs; a groupBy(bucket) with map-side partial aggregation
     reduces every partition to <= B+1 rows before the only shuffle; B+1
@@ -71,10 +71,42 @@ QC_STEPS = 8
 QC_LR_NUM, QC_LR_DEN = 512, 1
 
 
+def _buckets_udf(n_buckets: int, seed: int):
+    """Arrow kernel: features array<string> → bucket array<int> via the
+    batch-vectorized numpy MD5 (`functions/md5np.py`) — bit-identical to
+    the JVM `F.transform(…, md5-h60 % B)` chain it replaces, but the 64
+    MD5 rounds run vectorized over the whole flattened token batch
+    instead of interpreted per element (ADVICE r4 option b; the HOF
+    lambda never enters codegen and cost ~20µs/token — measured ~2.7µs
+    vectorized, BENCH.md §qualclf-kernel). The trailing bias bucket
+    (index n_buckets) is appended per document, so no array is empty."""
+    import numpy as np
+
+    from ..functions.md5np import hash60_batch
+
+    def _b(feats: pd.Series) -> pd.Series:
+        arrs = list(feats)
+        lens = np.fromiter(map(len, arrs), count=len(arrs), dtype=np.int64)
+        flat = [t for a in arrs for t in a]
+        bk = (hash60_batch(flat, seed) % n_buckets).astype(np.int32)
+        bias = np.array([n_buckets], dtype=np.int32)
+        parts = np.split(bk, np.cumsum(lens)[:-1]) if len(arrs) else []
+        return pd.Series([np.concatenate((p, bias)) for p in parts])
+
+    return F.pandas_udf(_b, "array<int>")
+
+
 def _buckets_col(text: Column, n_buckets: int, seed: int, hash_mode: str) -> Column:
     """array<int> of hashed feature buckets (unigrams + bigrams) plus one
     trailing bias bucket (index n_buckets) every document fires once —
-    so the array is never empty and bias shares the feature code path."""
+    so the array is never empty and bias shares the feature code path.
+
+    portable mode routes through the vectorized numpy MD5 kernel
+    (`_buckets_udf`): same integers, no per-element interpreted hashing.
+    fast mode keeps the JVM path — xxhash64 is a native scalar expression
+    and the HOF's interpreted dispatch is not the bottleneck there."""
+    if hash_mode == "portable":
+        return _buckets_udf(n_buckets, seed)(features_col(text))
     return F.concat(
         F.transform(
             features_col(text),
@@ -105,13 +137,11 @@ def _margin_udf(weights: list[int]):
     every bucket array is non-empty by construction (the trailing bias
     bucket), so offsets are strictly inside the flat array.
 
-    Remaining interpreted cost, accepted and documented: the bucket
-    arrays themselves come from `_buckets_col`, whose `F.transform`
-    lambda hashes per ELEMENT interpreted (~the dsir/jaro 20µs cost) —
-    Spark HOF lambdas never enter codegen. Moving the hashing into this
-    kernel would mean reimplementing Spark's xxhash64/md5 per token in
-    Python, which is per-element Python again; the win stops at the
-    summation."""
+    The upstream bucket arrays are vectorized too: portable mode hashes
+    the token batch through the numpy MD5 kernel in `_buckets_udf`
+    (round 5 — the r4 docstring's "reimplementing md5 in Python is
+    per-element again" objection dissolved once the 64 MD5 rounds were
+    written as batch uint32 numpy ops; see functions/md5np.py)."""
     import numpy as np
 
     w_np = np.asarray(weights, dtype=np.int64)

@@ -187,3 +187,38 @@ def test_jaro_winkler_batch_matches_scalar_and_duckdb(duck):
         ).fetchall()
     ).ravel()
     assert np.max(np.abs(got - ref)) == 0.0
+
+
+def test_md5_batch_matches_hashlib_and_engines(spark, duck):
+    """The vectorized numpy MD5 kernel (functions/md5np.py) is
+    bit-identical to hashlib, to Spark's conv(substr(md5,1,15),16,10)
+    and to DuckDB's ('0x'||substr(md5,1,15))::bigint — the portable-hash
+    contract the qualclf bucket kernel relies on. Covers empty strings,
+    unicode, and multi-block (>55-byte) messages."""
+    import hashlib
+
+    from entity_linking_spark.functions.md5np import hash60_batch, md5_h60_batch
+
+    msgs = [b"", b"a", b"abc", "héllo wörld β".encode(),
+            b"x" * 55, b"x" * 56, b"x" * 63, b"x" * 64, b"x" * 119,
+            b"x" * 120, b"x" * 300]
+    got = md5_h60_batch(msgs)
+    for m, g in zip(msgs, got):
+        assert int(g) == int(hashlib.md5(m).hexdigest()[:15], 16)
+
+    toks = ["alpha", "beta gamma", "", "café", "t" * 80]
+    seed = 131
+    h = hash60_batch(toks, seed)
+    rows = spark.createDataFrame([(t,) for t in toks], "t string").select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("t"), F.lit("\x1f" + str(seed)))), 1, 15),
+            16, 10,
+        ).cast("long").alias("h")
+    ).collect()
+    assert [int(r["h"]) for r in rows] == [int(x) for x in h]
+    for t, x in zip(toks, h):
+        (dv,) = duck.execute(
+            "SELECT (('0x' || substr(md5(? || chr(31) || ?), 1, 15))::bigint)",
+            [t, str(seed)],
+        ).fetchone()
+        assert int(dv) == int(x)

@@ -150,3 +150,65 @@ def test_scored_pairs_with_jaro_winkler(spark, fixture, run):
     exact_scores = [r["score"] for r in rows if r["exact"] == 1]
     if exact_scores:
         assert min(exact_scores) > 0.9
+
+
+def test_crash_between_stage_write_and_manifest_commit(
+    spark, fixture, tmp_path, monkeypatch
+):
+    """Batch twin of the streaming crash-before-pointer-commit test
+    (VERDICT r4 stretch item 8): kill the run AFTER the 'pairs' stage's
+    parquet lands on disk but BEFORE its manifest entry commits
+    (`os.replace` is the atomic commit point in `_commit`). The orphaned
+    parquet must be invisible to resume — the next run re-uses the two
+    COMMITTED stages, recomputes 'pairs' (overwriting the orphan) and
+    everything after it, and converges to the same clusters as a clean
+    run."""
+    import os as _os
+
+    import entity_linking_spark.plans.pipeline as PL
+
+    tdf, _ = fixture
+    ck = str(tmp_path / "ck_crash")
+
+    clean = sorted(
+        (r["rec_key"], r["cluster_id"])
+        for r in LinkingPipeline(spark, LinkingConfig())
+        .run(tdf)["clusters"]
+        .collect()
+    )
+
+    real_replace = _os.replace
+    manifest = _os.path.join(ck, "_MANIFEST.json")
+
+    def crashing_replace(src, dst):
+        if dst == manifest:
+            with open(src) as f:
+                staged = f.read()
+            if '"pairs"' in staged:
+                raise OSError("simulated crash before manifest commit")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(PL.os, "replace", crashing_replace)
+    p1 = LinkingPipeline(spark, LinkingConfig(), checkpoint_dir=ck)
+    with pytest.raises(OSError, match="simulated crash"):
+        p1.run(tdf)
+    monkeypatch.setattr(PL.os, "replace", real_replace)
+
+    # on-disk post-crash state: records+blocks committed; the pairs
+    # parquet is an ORPHAN (written, uncommitted — exactly the torn state)
+    committed = set(
+        __import__("json").load(open(manifest))["stages"]
+    ) if _os.path.exists(manifest) else set()
+    assert committed == {"records", "blocks"}, committed
+    assert _os.path.exists(_os.path.join(ck, "pairs"))  # orphan present
+
+    p2 = LinkingPipeline(spark, LinkingConfig(), checkpoint_dir=ck)
+    out2 = p2.run(tdf)
+    resumed = {m["stage"] for m in p2.metrics if m.get("resumed")}
+    recomputed = {m["stage"] for m in p2.metrics if not m.get("resumed")}
+    assert resumed == {"records", "blocks"}, p2.metrics
+    assert recomputed == {"pairs", "features", "edges", "clusters"}
+    got = sorted(
+        (r["rec_key"], r["cluster_id"]) for r in out2["clusters"].collect()
+    )
+    assert got == clean
