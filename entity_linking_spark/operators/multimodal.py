@@ -3,11 +3,15 @@
 A 100 TB training-data pipeline carries image/audio/video as opaque
 `binary` columns with typed metadata, decoded by Arrow-batched Python.
 This module implements the Spark-side plumbing for that pattern — schema,
-partition-preserving `mapInPandas`, batch shape — with the decode step
-STUBBED: the sandbox has no image/audio libraries, so `_decode_real`
-raises NotImplementedError and the pipeline falls back to a deterministic
-fake decode that exercises the identical dataflow (bytes in → features
-out). Swapping in PIL/librosa/pyav is a one-function change.
+partition-preserving `mapInPandas`, batch shape — with REAL
+dependency-free decoders for the containers parseable without media
+libraries: binary PPM (P6), uncompressed BMP, full PNG (stdlib zlib
+inflate + CRC verification + all five scanline filters), and RIFF/WAV
+PCM. Magic-byte routing sends recognized containers to the real parsers;
+everything else (JPEG/MP4/compressed audio, which need PIL/pyav this
+sandbox lacks) falls back to a deterministic fake decode that exercises
+the identical dataflow (bytes in → features out). Swapping a library in
+is a one-function change in `_decode_real`.
 
 The fake payload is derived from the document text (md5 → raw bytes,
 tiled), so every derived feature is reproducible in the DuckDB oracle —
@@ -106,23 +110,114 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return w, abs(h), payload[data_offset : data_offset + need]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free PNG decode (round 5): chunk walk with CRC-32
+    verification (`zlib.crc32`), IDAT inflate (stdlib `zlib`), and full
+    scanline de-filtering — all five filter types (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6). Supported subset: bit depth 8, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), no interlace — the shapes a
+    training-data pipeline actually meets; anything else raises and
+    routes the record to the deterministic fallback, same contract as
+    the PPM/BMP parsers. Returns (w, h, reconstructed pixel bytes).
+
+    Sub/Up filters reconstruct vectorized in numpy (Sub is a per-lane
+    mod-256 cumulative sum); Average/Paeth have a true left-neighbor
+    recurrence and run per-pixel — fine for thumbnail-scale rows, and
+    the cost is per-row-opt-in since encoders choose filters per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None or w <= 0 or h <= 0:
+        raise ValueError("unsupported PNG color type")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft, line = int(rows[y, 0]), rows[y, 1:].copy()
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-lane mod-256 cumsum
+            rec = line.reshape(-1, ch).cumsum(axis=0, dtype=np.uint64)
+            rec = (rec & 0xFF).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = line + prior
+        elif ft in (3, 4):  # Average / Paeth: left-neighbor recurrence
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                if ft == 3:
+                    rec[i] = (int(line[i]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prior[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError("invalid PNG filter type")
+        out[y] = rec
+        prior = rec
+    return w, h, out.tobytes()
+
+
 def _decode_real(payload: bytes, modality: str) -> dict:
-    """REAL decode for the two formats parseable without external
-    libraries: binary PPM (P6) and uncompressed BMP — pure-Python header
-    + pixel-array parses (VERDICT r3 item 6, retiring the stub). Other
-    containers (JPEG/PNG/WAV/MP4) still need PIL/librosa/pyav, which
-    this sandbox lacks — extend here when they exist. Feature contract
+    """REAL decode for the formats parseable without external libraries:
+    binary PPM (P6) and uncompressed BMP (VERDICT r3 item 6), plus full
+    PNG via stdlib zlib + numpy de-filtering (round 5). Remaining
+    containers (JPEG/WAV/MP4) still need PIL/librosa/pyav, which this
+    sandbox lacks — extend here when they exist. Feature contract
     matches the fake path: checksum = portable 31-bit hash of the pixel
     bytes' hex, so the DuckDB oracle recomputes it relationally for
-    deterministic payloads (`attach_ppm`)."""
+    deterministic payloads (`attach_ppm`, `attach_png`)."""
     if payload[:2] == b"P6":
         w, h, pixels = _parse_ppm(payload)
     elif payload[:2] == b"BM":
         w, h, pixels = _parse_bmp(payload)
+    elif payload[:8] == _PNG_SIG:
+        w, h, pixels = _parse_png(payload)
+    elif payload[:4] == b"RIFF":
+        return _parse_wav(payload)  # audio semantics for the columns
     else:
         raise NotImplementedError(
-            "only PPM/BMP decode without media libraries; other formats "
-            "use the deterministic fake decode"
+            "only PPM/BMP/PNG decode without media libraries; other "
+            "formats use the deterministic fake decode"
         )
     h60 = int(hashlib.md5(pixels.hex().encode()).hexdigest()[:15], 16)
     return {
@@ -153,10 +248,10 @@ def _decode_fake(doc_id: int, payload: bytes, modality: str) -> dict:
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batches in, feature batches out. Routing
     is by magic bytes — a cheap slice compare, so the non-media fast path
-    never enters try/except: recognized containers (PPM `P6`, BMP `BM`)
-    take the REAL parse, anything else (or a corrupt header — e.g. a
-    synthetic payload that collides with a magic by chance) falls back to
-    the deterministic fake decode."""
+    never enters try/except: recognized containers (PPM `P6`, BMP `BM`,
+    PNG signature, RIFF/WAV) take the REAL parse, anything else (or a corrupt
+    header — e.g. a synthetic payload that collides with a magic by
+    chance) falls back to the deterministic fake decode."""
     for pdf in batches:
         rows = []
         for doc_id, modality, payload in zip(
@@ -164,7 +259,11 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             p = bytes(payload)
             feats = None
-            if p[:2] in (b"P6", b"BM"):
+            if (
+                p[:2] in (b"P6", b"BM")
+                or p[:8] == _PNG_SIG
+                or p[:4] == b"RIFF"
+            ):
                 try:
                     feats = _decode_real(p, modality)
                 except Exception:
@@ -249,6 +348,234 @@ def decode_ppm_sql(documents_rel: str = "documents") -> str:
            CAST({h} AS BIGINT) AS height,
            CAST(1 AS BIGINT) AS n_frames,
            CAST({portable_hash_sql(pixels_hex)} AS BIGINT) AS checksum
+    FROM ({documents_rel})
+    """
+
+
+PNG_DECODE_SCHEMA = (
+    "doc_id long, modality string, width long, height long, "
+    "n_frames long, checksum long"
+)
+
+
+def _encode_png(w: int, h: int, pixels: bytes, filter_seed: int = 0) -> bytes:
+    """Minimal deterministic PNG encoder (RGB, depth 8, no interlace):
+    row y gets filter type (y + filter_seed) % 5, applied FORWARD per
+    RFC 2083 — so a decoder must exercise ALL FIVE filter paths to
+    recover the pixels, while the reconstructed output stays exactly
+    `pixels` (filters are invertible). zlib level fixed at 6; CRCs via
+    zlib.crc32. Used by `attach_png` and the round-trip tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ch, stride = 3, 3 * w
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, stride)
+    lines = []
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        rec = arr[y]
+        ft = (y + filter_seed) % 5
+        if ft == 0:
+            enc = rec.copy()
+        elif ft == 1:
+            left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
+            enc = rec - left
+        elif ft == 2:
+            enc = rec - prior
+        elif ft == 3:
+            left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
+            enc = rec - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
+        else:  # Paeth
+            enc = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                c = int(prior[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (int(rec[i]) - pred) & 0xFF
+        lines.append(bytes([ft]) + enc.tobytes())
+        prior = rec
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def attach_png(documents: DataFrame) -> DataFrame:
+    """(doc_id, modality, payload): REAL, valid PNG images synthesized
+    deterministically from the document text inside an Arrow batch —
+    RGB pixels are md5(text) hex tiled (the `attach_ppm` rule, same
+    dimensions), rows filtered with the (y + doc_id) % 5 rotation so the
+    gated query drives every PNG filter branch end to end. The DECODED
+    features are pure functions of (doc_id, text) — `decode_png_sql`
+    recomputes them relationally without touching zlib — which is why
+    the gated surface drops `n_bytes` (compressed size is a zlib
+    implementation detail, not a relational function)."""
+    from collections.abc import Iterator as _It
+
+    def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                w, h = 4 + did % 4, 2 + did % 3
+                hexs = hashlib.md5(str(text).encode()).hexdigest() * PPM_TILE
+                pixels = bytes.fromhex(hexs[: w * h * 6])
+                out.append(
+                    {
+                        "doc_id": did,
+                        "modality": "image",
+                        "payload": _encode_png(w, h, pixels, filter_seed=did),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "modality", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, modality string, payload binary"
+    )
+
+
+def decode_png_features(documents: DataFrame) -> DataFrame:
+    """Gated surface for the REAL PNG decode path: synthesize → decode →
+    project out n_bytes (see attach_png docstring)."""
+    return decode_features(attach_png(documents)).select(
+        "doc_id", "modality", "width", "height", "n_frames", "checksum"
+    )
+
+
+def decode_png_sql(documents_rel: str = "documents") -> str:
+    """Oracle for decode_png_features: every feature of the REAL PNG
+    parse recomputed relationally from (doc_id, text) — identical pixel
+    rule to decode_ppm_sql, PNG container + filters on the Spark side
+    only (they are invertible, so decoded pixels == the raw rule)."""
+    w = "(4 + doc_id % 4)"
+    h = "(2 + doc_id % 3)"
+    pixels_hex = f"substr(repeat(md5(text), {PPM_TILE}), 1, CAST({w} * {h} * 6 AS INT))"
+    return f"""
+    SELECT doc_id,
+           'image' AS modality,
+           CAST({w} AS BIGINT) AS width,
+           CAST({h} AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_frames,
+           CAST({portable_hash_sql(pixels_hex)} AS BIGINT) AS checksum
+    FROM ({documents_rel})
+    """
+
+
+def _parse_wav(payload: bytes) -> dict:
+    """Dependency-free RIFF/WAV parse (PCM integer formats): chunk walk
+    over the RIFF body, `fmt ` validation (audio_format 1, 8/16/24/32
+    bit), `data` chunk extraction. Returns the decode-feature dict
+    directly (audio semantics for the generic columns: width =
+    sample_rate, height = channels, n_frames = sample frames). Strict —
+    malformed or non-PCM payloads raise and route to the fake path."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated RIFF body")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated WAV chunk")
+        if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16, 24, 32) or channels < 1:
+        raise ValueError("unsupported WAV format")
+    if block_align != channels * bits // 8 or block_align == 0:
+        raise ValueError("inconsistent WAV block alignment")
+    if len(data) % block_align:
+        raise ValueError("WAV data not frame-aligned")
+    h60 = int(hashlib.md5(data.hex().encode()).hexdigest()[:15], 16)
+    return {
+        "n_bytes": len(payload),
+        "width": sample_rate,
+        "height": channels,
+        "n_frames": len(data) // block_align,
+        "checksum": h60 % MERSENNE_P,
+    }
+
+
+WAV_RATE = 8000  # synthesized fixture sample rate
+
+
+def attach_wav(documents: DataFrame) -> DataFrame:
+    """(doc_id, modality, payload): REAL, valid 16-bit mono PCM WAV files
+    synthesized deterministically from the document text — canonical
+    44-byte RIFF header + (8 + doc_id%9) sample frames of md5(text)
+    bytes. Every byte of the payload (header included) is a pure
+    function of (doc_id, text), so the oracle recomputes ALL features —
+    n_bytes included (44 + 2·n_samples) — relationally."""
+    import struct
+    from collections.abc import Iterator as _It
+
+    def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                n_samples = 8 + did % 9
+                hexs = hashlib.md5(str(text).encode()).hexdigest() * 4
+                data = bytes.fromhex(hexs[: n_samples * 4])
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                                  WAV_RATE * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                out.append(
+                    {"doc_id": did, "modality": "audio", "payload": hdr + data}
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "modality", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, modality string, payload binary"
+    )
+
+
+def decode_wav_sql(documents_rel: str = "documents") -> str:
+    """Oracle for decode_features(attach_wav(...)): the full REAL WAV
+    parse recomputed relationally — including n_bytes, since the WAV
+    container is header + raw samples with no compression."""
+    ns = "(8 + doc_id % 9)"
+    data_hex = f"substr(repeat(md5(text), 4), 1, CAST({ns} * 4 AS INT))"
+    return f"""
+    SELECT doc_id,
+           'audio' AS modality,
+           CAST(44 + {ns} * 2 AS BIGINT) AS n_bytes,
+           CAST({WAV_RATE} AS BIGINT) AS width,
+           CAST(1 AS BIGINT) AS height,
+           CAST({ns} AS BIGINT) AS n_frames,
+           CAST({portable_hash_sql(data_hex)} AS BIGINT) AS checksum
     FROM ({documents_rel})
     """
 

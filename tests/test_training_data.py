@@ -303,8 +303,12 @@ def test_frame_sample_only_video(docs):
 
 
 def test_decode_real_rejects_unknown_formats():
-    # non-PPM/BMP containers (JPEG/PNG/...) still need external libs
+    # containers with no dependency-free parser (JPEG/MP4/...) still
+    # raise; a PNG signature with a garbage body is now a PARSE error
+    # (round 5: PNG decode is real), which routes to the fallback too
     with pytest.raises(NotImplementedError):
+        MM._decode_real(b"\xff\xd8\xff\xe0....JFIF....", "image")
+    with pytest.raises(ValueError):
         MM._decode_real(b"\x89PNG\r\n\x1a\n....", "image")
 
 
@@ -761,3 +765,94 @@ def test_docs_curated_flags_consistent(spark, duck, sf_dir):
     n = len(rows)
     for k, s in sums.items():
         assert 0 < s < n, (k, s, n)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """_encode_png applies filter (y+seed)%5 per row, so a tall image
+    exercises None/Sub/Up/Average/Paeth; _parse_png must reconstruct the
+    exact pixel bytes through every branch."""
+    import hashlib as _hl
+
+    w, h = 5, 10  # 10 rows → every filter type twice
+    pixels = (_hl.md5(b"png-roundtrip").hexdigest() * 20)[: w * h * 6]
+    pixels = bytes.fromhex(pixels)
+    for seed in range(5):
+        payload = MM._encode_png(w, h, pixels, filter_seed=seed)
+        pw, ph, rec = MM._parse_png(payload)
+        assert (pw, ph) == (w, h)
+        assert rec == pixels, f"seed={seed}"
+
+
+def test_png_parser_verifies_structure():
+    """Corrupt CRC, bad signature, and unsupported variants raise (and
+    therefore route to the fake-decode fallback in decode_batches)."""
+    import struct
+    import zlib as _z
+
+    import pytest as _pt
+
+    payload = MM._encode_png(4, 3, bytes(range(36)), filter_seed=1)
+    with _pt.raises(ValueError):
+        MM._parse_png(b"\x89PNX" + payload[4:])
+    # flip one IDAT byte → CRC mismatch
+    bad = bytearray(payload)
+    idat_at = payload.index(b"IDAT")
+    bad[idat_at + 5] ^= 0xFF
+    with _pt.raises(ValueError):
+        MM._parse_png(bytes(bad))
+    # 16-bit depth is unsupported → ValueError, not a wrong decode
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pt.raises(ValueError):
+        MM._parse_png(MM._PNG_SIG + chunk)
+
+
+def test_decode_batches_routes_png(docs):
+    """decode_batches recognizes the PNG signature and uses the REAL
+    parser: width/height follow the attach_png rule, not the fake path's
+    doc_id formula."""
+    out = {
+        r["doc_id"]: r
+        for r in MM.decode_features(MM.attach_png(docs.limit(20))).collect()
+    }
+    for did, r in out.items():
+        assert r["width"] == 4 + did % 4
+        assert r["height"] == 2 + did % 3
+        assert r["n_frames"] == 1
+
+
+def test_wav_parser_and_attach_roundtrip(docs):
+    """attach_wav payloads are valid RIFF/WAV PCM; the parser recovers
+    sample rate, channels, frame count, and the exact data checksum; a
+    reference WAV built by hand parses identically; malformed RIFF
+    bodies raise."""
+    import struct
+
+    import pytest as _pt
+
+    rows = MM.decode_features(MM.attach_wav(docs.limit(20))).collect()
+    for r in rows:
+        assert r["width"] == MM.WAV_RATE
+        assert r["height"] == 1
+        assert r["n_frames"] == 8 + r["doc_id"] % 9
+        assert r["n_bytes"] == 44 + 2 * r["n_frames"]
+    # hand-built stereo 8-bit file with an extra chunk before data
+    data = bytes(range(12))  # 6 frames of 2ch×8bit
+    hdr = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + 4 + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 2, 2, 8)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(data))
+    )
+    feats = MM._parse_wav(hdr + data)
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (44100, 2, 6)
+    with _pt.raises(ValueError):
+        MM._parse_wav(b"RIFF\x00\x00\x00\x00AVI " + b"x" * 40)
+    # non-PCM (format 3 = float) rejected
+    bad = bytearray(hdr + data)
+    bad[20] = 3
+    with _pt.raises(ValueError):
+        MM._parse_wav(bytes(bad))
