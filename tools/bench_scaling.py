@@ -72,6 +72,11 @@ def main() -> int:
         extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB"},
     )
     path = ensure_input(spark)
+    # warm-up job before the timing loop (the bench.py flagship_at
+    # rationale): JVM codegen/classloader first-job fixed costs would
+    # otherwise land inside the first (records) stage at BOTH levels and
+    # flatten its ratio — the protocol compares steady-state throughput
+    spark.range(1_000_000).count()
     cfg = LinkingConfig(hash_mode="fast")  # production hash path
     transcripts = spark.read.parquet(path)
 
